@@ -1,0 +1,560 @@
+"""TPU-native LoRA core.
+
+The reference implements LoRA by *module monkeypatching*: every targeted
+``nn.Linear`` is swapped for a ``LoraInjectedLinear`` computing
+``linear(x) + scale * lora_up(lora_down(x))`` (reference:
+lora_diffusion/lora.py:32-50, 137-183).  In JAX, models are pure functions
+over parameter pytrees, so "injection" becomes *pytree surgery*: a model
+declares an ordered list of LoRA-capable dense layers (:class:`LoraTarget`),
+and the LoRA weights live in a separate nested-dict tree mirroring the param
+tree, with leaves ``{"up": (out, r), "down": (r, in), "scale": ()}``.  The
+model's dense layers add ``scale * (x @ down.T) @ up.T`` when an entry for
+their path exists (optionally via a fused Pallas kernel, see
+:mod:`diffusion_finetuning_tpu.ops.lora_matmul`).
+
+This module keeps the reference's public names and semantics:
+
+* ``inject_trainable_lora``  — build a fresh trainable LoRA tree
+  (``lora_down`` ~ N(0, 1/r), ``lora_up`` = 0, lora.py:46-47), optionally
+  seeded from a ``.pt`` flat list (lora.py:150-151, 175-177);
+* ``extract_lora_ups_down`` / ``save_lora_weight`` / ``save_lora_as_json`` —
+  flat interleaved ``[up0, down0, up1, ...]`` fp16 lists (lora.py:201-225);
+* ``save_safeloras_with_embeds`` / ``parse_safeloras`` /
+  ``convert_loras_to_safeloras_with_embeds`` — the consolidated safetensors
+  schema (lora.py:228-407);
+* ``weight_apply_lora`` — permanent merge ``W += alpha * up @ down``
+  (lora.py:410-424);
+* the ``monkeypatch_*`` family — functional equivalents returning new trees
+  (lora.py:427-594);
+* ``tune_lora_scale`` (lora.py:597-600), ``inspect_lora`` (lora.py:735-752),
+  ``save_all`` (lora.py:755-821), TI embed application (lora.py:613-669).
+
+Weight-shape convention matches the on-disk reference format: ``up`` is
+``(out_features, rank)`` and ``down`` is ``(rank, in_features)`` (torch
+``nn.Linear`` layout).  Flax kernels are ``(in, out)``, so merges transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Set, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import safetensors_io, torch_pickle
+from .io.safetensors_io import (
+    EMBED_FLAG,
+    load_safeloras,
+    load_safeloras_both,
+    load_safeloras_embeds,
+    parse_safeloras,
+    parse_safeloras_embeds,
+)
+from .tree_util import Path, tree_get, tree_has, tree_set, tree_delete
+
+__all__ = [
+    "EMBED_FLAG",
+    "UNET_DEFAULT_TARGET_REPLACE",
+    "TEXT_ENCODER_DEFAULT_TARGET_REPLACE",
+    "DEFAULT_TARGET_REPLACE",
+    "LoraTarget",
+    "inject_trainable_lora",
+    "extract_lora_ups_down",
+    "save_lora_weight",
+    "save_lora_as_json",
+    "save_safeloras",
+    "save_safeloras_with_embeds",
+    "convert_loras_to_safeloras",
+    "convert_loras_to_safeloras_with_embeds",
+    "parse_safeloras",
+    "parse_safeloras_embeds",
+    "load_safeloras",
+    "load_safeloras_embeds",
+    "load_safeloras_both",
+    "weight_apply_lora",
+    "monkeypatch_lora",
+    "monkeypatch_replace_lora",
+    "monkeypatch_or_replace_lora",
+    "monkeypatch_or_replace_safeloras",
+    "monkeypatch_remove_lora",
+    "monkeypatch_add_lora",
+    "tune_lora_scale",
+    "inspect_lora",
+    "lora_tree_to_flat",
+    "flat_to_lora_tree",
+    "_text_lora_path",
+    "_ti_lora_path",
+    "save_all",
+]
+
+# Ancestor-class target sets — identical strings to the reference
+# (lora.py:53-56) so safetensors metadata round-trips bit-for-bit.
+UNET_DEFAULT_TARGET_REPLACE = {"CrossAttention", "Attention", "GEGLU"}
+TEXT_ENCODER_DEFAULT_TARGET_REPLACE = {"CLIPAttention"}
+DEFAULT_TARGET_REPLACE = UNET_DEFAULT_TARGET_REPLACE
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraTarget:
+    """One LoRA-capable dense layer of a model.
+
+    ``path`` addresses the layer inside the model's param tree (the module
+    directory holding ``kernel``/``bias``).  ``ancestor`` is the reference
+    class name this layer sits under ({"CrossAttention","Attention","GEGLU",
+    "CLIPAttention"}), which is what target_replace sets match against —
+    the reference's `_find_modules` addressing scheme (lora.py:78-114).
+    """
+
+    path: Path
+    in_features: int
+    out_features: int
+    ancestor: str
+
+
+def filter_targets(
+    targets: Sequence[LoraTarget], target_replace_module: Set[str]
+) -> List[LoraTarget]:
+    """Keep targets whose ancestor class name is in the replace set, in
+    canonical order (the reference enumeration order, verified against
+    example_loras/lora_disney.safetensors)."""
+    return [t for t in targets if t.ancestor in set(target_replace_module)]
+
+
+# --------------------------------------------------------------------------
+# Tree <-> flat-list conversion
+# --------------------------------------------------------------------------
+
+
+def lora_tree_to_flat(
+    lora_tree: Mapping[str, Any], targets: Sequence[LoraTarget]
+) -> List[np.ndarray]:
+    """Flatten a LoRA tree into the reference interleaved [up, down, ...] list."""
+    flat: List[np.ndarray] = []
+    for t in targets:
+        leaf = tree_get(lora_tree, t.path)
+        flat.append(np.asarray(leaf["up"]))
+        flat.append(np.asarray(leaf["down"]))
+    return flat
+
+
+def flat_to_lora_tree(
+    flat: Sequence[np.ndarray],
+    targets: Sequence[LoraTarget],
+    scale: float = 1.0,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Build a LoRA tree from an interleaved flat list (order = canonical)."""
+    if len(flat) != 2 * len(targets):
+        raise ValueError(
+            f"flat list has {len(flat)} tensors but model has {len(targets)} targets"
+        )
+    tree: Dict[str, Any] = {}
+    for i, t in enumerate(targets):
+        up = jnp.asarray(np.asarray(flat[2 * i], dtype=np.float32), dtype=dtype)
+        down = jnp.asarray(np.asarray(flat[2 * i + 1], dtype=np.float32), dtype=dtype)
+        if up.shape[0] != t.out_features or down.shape[1] != t.in_features:
+            raise ValueError(
+                f"target {t.path}: file pair (up {up.shape}, down {down.shape}) "
+                f"does not match layer ({t.in_features} -> {t.out_features})"
+            )
+        leaf = {"up": up, "down": down, "scale": jnp.asarray(scale, dtype=jnp.float32)}
+        tree = tree_set(tree, t.path, leaf)
+    return tree
+
+
+def _load_flat(loras: Union[str, Sequence[np.ndarray]]) -> List[np.ndarray]:
+    if isinstance(loras, (str,)):
+        obj = torch_pickle.load(loras)
+        if not isinstance(obj, list):
+            raise ValueError(f"{loras} is not a flat LoRA list")
+        return [np.asarray(a) for a in obj]
+    return [np.asarray(a) for a in loras]
+
+
+# --------------------------------------------------------------------------
+# Injection / extraction
+# --------------------------------------------------------------------------
+
+
+def inject_trainable_lora(
+    targets: Sequence[LoraTarget],
+    rng: jax.Array,
+    r: int = 4,
+    loras: Optional[Union[str, Sequence[np.ndarray]]] = None,
+    scale: float = 1.0,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Create a trainable LoRA tree for ``targets``.
+
+    Mirrors reference ``inject_trainable_lora`` (lora.py:137-183): validates
+    ``r <= min(in, out)`` (lora.py:36-39), initializes ``down ~ N(0, 1/r)``
+    and ``up = 0`` (lora.py:46-47), and optionally seeds both from a ``.pt``
+    flat list for warm restarts (lora.py:150-151, 175-177).
+
+    Returns the LoRA tree — in JAX the "trainable parameter group" is simply
+    this tree; take gradients with respect to it.
+    """
+    flat = _load_flat(loras) if loras is not None else None
+    tree: Dict[str, Any] = {}
+    for i, t in enumerate(targets):
+        if r > min(t.in_features, t.out_features):
+            raise ValueError(
+                f"LoRA rank {r} must be less or equal than "
+                f"{min(t.in_features, t.out_features)}"
+            )
+        if flat is not None:
+            up = jnp.asarray(np.asarray(flat[2 * i], np.float32), dtype)
+            down = jnp.asarray(np.asarray(flat[2 * i + 1], np.float32), dtype)
+        else:
+            rng, key = jax.random.split(rng)
+            down = (jax.random.normal(key, (r, t.in_features), dtype) / r)
+            up = jnp.zeros((t.out_features, r), dtype)
+        leaf = {"up": up, "down": down, "scale": jnp.asarray(scale, jnp.float32)}
+        tree = tree_set(tree, t.path, leaf)
+    return tree
+
+
+def extract_lora_ups_down(
+    lora_tree: Mapping[str, Any], targets: Sequence[LoraTarget]
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """[(up, down), ...] in canonical order (reference lora.py:186-198)."""
+    pairs = []
+    for t in targets:
+        if tree_has(lora_tree, t.path):
+            leaf = tree_get(lora_tree, t.path)
+            pairs.append((leaf["up"], leaf["down"]))
+    if not pairs:
+        raise ValueError("No lora injected.")
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# Saving
+# --------------------------------------------------------------------------
+
+
+def save_lora_weight(
+    lora_tree: Mapping[str, Any],
+    targets: Sequence[LoraTarget],
+    path: str = "./lora.pt",
+) -> None:
+    """Flat interleaved fp16 list via torch pickle (reference lora.py:201-213)."""
+    weights: List[np.ndarray] = []
+    for up, down in extract_lora_ups_down(lora_tree, targets):
+        weights.append(np.asarray(up, dtype=np.float16))
+        weights.append(np.asarray(down, dtype=np.float16))
+    torch_pickle.save(weights, path)
+
+
+def save_lora_as_json(
+    lora_tree: Mapping[str, Any], targets: Sequence[LoraTarget], path: str = "./lora.json"
+) -> None:
+    weights = []
+    for up, down in extract_lora_ups_down(lora_tree, targets):
+        weights.append(np.asarray(up, np.float32).tolist())
+        weights.append(np.asarray(down, np.float32).tolist())
+    with open(path, "w") as f:
+        json.dump(weights, f)
+
+
+ModelMapEntry = Tuple[Mapping[str, Any], Sequence[LoraTarget], Set[str]]
+
+
+def save_safeloras_with_embeds(
+    modelmap: Mapping[str, ModelMapEntry],
+    embeds: Optional[Mapping[str, np.ndarray]] = None,
+    outpath: str = "./lora.safetensors",
+) -> None:
+    """``modelmap = {name: (lora_tree, targets, target_replace_set)}``.
+
+    Writes the reference consolidated schema (lora.py:228-265): tensors
+    ``{name}:{i}:up/down``, metadata ``{name}`` -> JSON target list and
+    ``{name}:{i}:rank``; embeds under the raw token with ``<embed>`` flag.
+    """
+    loras = {}
+    for name, (lora_tree, targets, target_replace) in modelmap.items():
+        sel = filter_targets(targets, target_replace)
+        flat = lora_tree_to_flat(lora_tree, sel)
+        ranks = [int(flat[2 * i].shape[1]) for i in range(len(sel))]
+        # Native dtypes are preserved — the reference's safetensors saver
+        # writes model weights as-is (lora.py:250-251); only the .pt saver
+        # casts to fp16 (lora.py:210).
+        loras[name] = (flat, ranks, sorted(target_replace))
+    emb = {k: np.asarray(v) for k, v in (embeds or {}).items()}
+    safetensors_io.write_safeloras(loras, outpath, embeds=emb)
+
+
+def save_safeloras(
+    modelmap: Mapping[str, ModelMapEntry], outpath: str = "./lora.safetensors"
+) -> None:
+    save_safeloras_with_embeds(modelmap, None, outpath)
+
+
+def convert_loras_to_safeloras_with_embeds(
+    modelmap: Mapping[str, Tuple[str, Set[str], int]],
+    embeds: Optional[Mapping[str, Union[str, np.ndarray]]] = None,
+    outpath: str = "./lora.safetensors",
+) -> None:
+    """Convert flat ``.pt`` lists into the safetensors schema
+    (reference lora.py:268-303).
+
+    ``modelmap = {name: (.pt path, target_replace_set, rank)}``;
+    ``embeds`` may map tokens to arrays or be a ``.pt`` path holding a dict.
+    """
+    loras = {}
+    for name, (pt_path, target_replace, rank) in modelmap.items():
+        flat = _load_flat(pt_path)
+        n_pairs = len(flat) // 2
+        ranks = [int(rank)] * n_pairs
+        loras[name] = (flat, ranks, sorted(target_replace))  # native dtypes
+    emb: Dict[str, np.ndarray] = {}
+    if embeds is not None:
+        if isinstance(embeds, str):
+            embeds = torch_pickle.load(embeds)
+        for token, vec in embeds.items():
+            emb[token] = np.asarray(vec)
+    safetensors_io.write_safeloras(loras, outpath, embeds=emb)
+
+
+def convert_loras_to_safeloras(
+    modelmap: Mapping[str, Tuple[str, Set[str], int]],
+    outpath: str = "./lora.safetensors",
+) -> None:
+    convert_loras_to_safeloras_with_embeds(modelmap, None, outpath)
+
+
+# --------------------------------------------------------------------------
+# Merging / patching (functional monkeypatch family)
+# --------------------------------------------------------------------------
+
+
+def weight_apply_lora(
+    params: Mapping[str, Any],
+    loras: Union[str, Sequence[np.ndarray]],
+    targets: Sequence[LoraTarget],
+    alpha: float = 1.0,
+) -> Dict[str, Any]:
+    """Permanently merge LoRA into base weights: ``W += alpha * up @ down``
+    (reference lora.py:410-424).  Flax kernels are (in, out), so the delta is
+    transposed.  Returns a new params tree."""
+    flat = _load_flat(loras)
+    if len(flat) != 2 * len(targets):
+        raise ValueError(
+            f"{len(flat)} tensors for {len(targets)} targets"
+        )
+    new_params = params
+    for i, t in enumerate(targets):
+        up = np.asarray(flat[2 * i], np.float32)
+        down = np.asarray(flat[2 * i + 1], np.float32)
+        layer = dict(tree_get(params, t.path))
+        kernel = layer["kernel"]
+        delta = jnp.asarray((up @ down).T, dtype=kernel.dtype)
+        layer["kernel"] = kernel + alpha * delta
+        new_params = tree_set(new_params, t.path, layer)
+    return new_params
+
+
+def monkeypatch_lora(
+    loras: Union[str, Sequence[np.ndarray]],
+    targets: Sequence[LoraTarget],
+    r: int = 4,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Build a LoRA tree from saved weights (reference lora.py:427-459).
+    In the functional world patch/replace are the same operation — the
+    returned tree supersedes whatever tree was active before."""
+    del r  # rank comes from the tensors themselves
+    return flat_to_lora_tree(_load_flat(loras), targets, scale=1.0, dtype=dtype)
+
+
+def monkeypatch_replace_lora(
+    loras: Union[str, Sequence[np.ndarray]],
+    targets: Sequence[LoraTarget],
+    r: int = 4,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    return monkeypatch_lora(loras, targets, r, dtype)
+
+
+def monkeypatch_or_replace_lora(
+    loras: Union[str, Sequence[np.ndarray]],
+    targets: Sequence[LoraTarget],
+    r: Union[int, List[int]] = 4,
+    dtype: Any = jnp.float32,
+) -> Dict[str, Any]:
+    """Reference lora.py:497-538 — accepts per-module rank lists; ranks are
+    read from the tensors, the list is validated if provided."""
+    flat = _load_flat(loras)
+    if isinstance(r, list) and len(r) not in (0, len(targets)):
+        raise ValueError(f"rank list of {len(r)} for {len(targets)} targets")
+    return flat_to_lora_tree(flat, targets, scale=1.0, dtype=dtype)
+
+
+def monkeypatch_or_replace_safeloras(
+    models: Any, safeloras: Tuple[Mapping[str, np.ndarray], Mapping[str, str]]
+) -> Dict[str, Dict[str, Any]]:
+    """Dispatch parsed safeloras onto a pipe-like object by model name
+    (reference lora.py:541-551).  ``models`` must expose
+    ``lora_targets(name, target_replace) -> [LoraTarget]``; returns
+    {model_name: lora_tree} and also assigns ``models.<name>_lora`` when the
+    attribute slot exists."""
+    tensors, metadata = safeloras
+    loras = parse_safeloras(tensors, metadata)
+    out: Dict[str, Dict[str, Any]] = {}
+    for name, (flat, ranks, target) in loras.items():
+        try:
+            targets = models.lora_targets(name, set(target))
+        except (AttributeError, KeyError):
+            print(f"No model provided for {name}, contained in Lora")
+            continue
+        tree = flat_to_lora_tree(flat, targets, scale=1.0)
+        out[name] = tree
+        if hasattr(models, f"{name}_lora"):
+            setattr(models, f"{name}_lora", tree)
+    return out
+
+
+def monkeypatch_remove_lora(lora_tree: Mapping[str, Any]) -> Dict[str, Any]:
+    """Restore the un-LoRA'd model — functionally: an empty tree
+    (reference lora.py:554-567 swaps back plain nn.Linear)."""
+    del lora_tree
+    return {}
+
+
+def monkeypatch_add_lora(
+    lora_tree: Mapping[str, Any],
+    loras: Union[str, Sequence[np.ndarray]],
+    targets: Sequence[LoraTarget],
+    alpha: float = 1.0,
+    beta: float = 1.0,
+) -> Dict[str, Any]:
+    """Runtime compose: ``up <- alpha*up_new + beta*up_old`` and same for
+    down (reference lora.py:570-594 — an approximate product merge)."""
+    flat = _load_flat(loras)
+    new_tree = lora_tree
+    for i, t in enumerate(targets):
+        leaf = dict(tree_get(lora_tree, t.path))
+        up_new = jnp.asarray(np.asarray(flat[2 * i], np.float32), leaf["up"].dtype)
+        down_new = jnp.asarray(np.asarray(flat[2 * i + 1], np.float32), leaf["down"].dtype)
+        leaf["up"] = alpha * up_new + beta * leaf["up"]
+        leaf["down"] = alpha * down_new + beta * leaf["down"]
+        new_tree = tree_set(new_tree, t.path, leaf)
+    return new_tree
+
+
+def tune_lora_scale(lora_tree: Mapping[str, Any], alpha: float = 1.0) -> Dict[str, Any]:
+    """Set every ``scale`` leaf to ``alpha`` (reference lora.py:597-600).
+    The scale is an array leaf, so re-tuning never triggers recompilation."""
+
+    def _walk(node):
+        if isinstance(node, Mapping):
+            if "up" in node and "down" in node and "scale" in node:
+                out = dict(node)
+                out["scale"] = jnp.asarray(alpha, jnp.float32)
+                return out
+            return {k: _walk(v) for k, v in node.items()}
+        return node
+
+    return _walk(lora_tree)
+
+
+def inspect_lora(lora_tree: Mapping[str, Any]) -> Dict[str, List[float]]:
+    """Per-module mean |up @ down| drift metric (reference lora.py:735-752)."""
+    moved: Dict[str, List[float]] = {}
+
+    def _walk(node, prefix=""):
+        if isinstance(node, Mapping):
+            if "up" in node and "down" in node:
+                up = np.asarray(node["up"], np.float32)
+                down = np.asarray(node["down"], np.float32)
+                dist = float(np.abs(up @ down).mean())
+                moved.setdefault(prefix, []).append(dist)
+                return
+            for k, v in node.items():
+                _walk(v, f"{prefix}.{k}" if prefix else k)
+
+    _walk(lora_tree)
+    return moved
+
+
+# --------------------------------------------------------------------------
+# Sidecar path helpers (reference lora.py:603-610)
+# --------------------------------------------------------------------------
+
+
+def _text_lora_path(path: str) -> str:
+    assert path.endswith(".pt"), "Only .pt files are supported"
+    return ".".join(path.split(".")[:-1] + ["text_encoder", "pt"])
+
+
+def _ti_lora_path(path: str) -> str:
+    assert path.endswith(".pt"), "Only .pt files are supported"
+    return ".".join(path.split(".")[:-1] + ["ti", "pt"])
+
+
+# --------------------------------------------------------------------------
+# Unified saver (reference lora.py:755-821)
+# --------------------------------------------------------------------------
+
+
+def save_all(
+    unet_lora: Optional[Mapping[str, Any]],
+    text_lora: Optional[Mapping[str, Any]],
+    unet_targets: Sequence[LoraTarget],
+    text_targets: Sequence[LoraTarget],
+    learned_embeds: Optional[Mapping[str, np.ndarray]],
+    save_path: str,
+    save_lora: bool = True,
+    save_ti: bool = True,
+    target_replace_module_text: Set[str] = TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    target_replace_module_unet: Set[str] = DEFAULT_TARGET_REPLACE,
+    safe_form: bool = True,
+) -> None:
+    """Save UNet+text LoRAs and TI embeds together.
+
+    ``safe_form=True`` -> one consolidated ``.safetensors``;
+    ``safe_form=False`` -> reference ``.pt`` triple: ``path``,
+    ``path.text_encoder.pt``, ``path.ti.pt`` (lora.py:767-796).
+    """
+    embeds = {k: np.asarray(v, np.float32) for k, v in (learned_embeds or {}).items()}
+    if not safe_form:
+        if save_ti:
+            ti_path = _ti_lora_path(save_path)
+            torch_pickle.save(dict(embeds), ti_path)
+            for tok in embeds:
+                print(
+                    f"Current Learned Embeddings for {tok}:, id {tok} ",
+                    embeds[tok][:4],
+                )
+        if save_lora:
+            assert unet_lora is not None
+            save_lora_weight(
+                unet_lora,
+                filter_targets(unet_targets, target_replace_module_unet),
+                save_path,
+            )
+            if text_lora is not None:
+                save_lora_weight(
+                    text_lora,
+                    filter_targets(text_targets, target_replace_module_text),
+                    _text_lora_path(save_path),
+                )
+        return
+
+    assert save_path.endswith(".safetensors"), (
+        f"Save path : {save_path} should end with .safetensors"
+    )
+    modelmap: Dict[str, ModelMapEntry] = {}
+    if save_lora:
+        assert unet_lora is not None
+        modelmap["unet"] = (unet_lora, unet_targets, target_replace_module_unet)
+        if text_lora is not None:
+            modelmap["text_encoder"] = (
+                text_lora,
+                text_targets,
+                target_replace_module_text,
+            )
+    save_safeloras_with_embeds(modelmap, embeds if save_ti else None, save_path)

@@ -1,0 +1,19 @@
+"""Test configuration: run every test on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; per the driver contract the
+DP/TP shardings are exercised on host platform devices
+(``--xla_force_host_platform_device_count=8``).  Must run before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,91 @@
+"""Schema parity tests against the reference golden safetensors artifact."""
+
+import json
+
+import numpy as np
+import pytest
+
+from diffusion_finetuning_tpu.io import safetensors_io as st
+
+GOLDEN = "/root/reference/example_loras/lora_disney.safetensors"
+
+
+def test_parse_golden_file():
+    tensors, metadata = st.read_safetensors(GOLDEN)
+    loras = st.parse_safeloras(tensors, metadata)
+    assert set(loras) == {"unet", "text_encoder"}
+    unet_w, unet_r, unet_t = loras["unet"]
+    assert len(unet_w) == 288 and len(unet_r) == 144
+    assert all(r == 1 for r in unet_r)
+    assert set(unet_t) == {"CrossAttention", "Attention", "GEGLU"}
+    te_w, te_r, te_t = loras["text_encoder"]
+    assert len(te_w) == 96 and all(r == 1 for r in te_r)
+    assert te_t == ["CLIPAttention"]
+    # up before down within each pair; shapes consistent with rank metadata
+    for i in range(144):
+        up, down = unet_w[2 * i], unet_w[2 * i + 1]
+        assert up.shape[1] == 1 and down.shape[0] == 1
+
+
+def test_parse_golden_embeds():
+    tensors, metadata = st.read_safetensors(GOLDEN)
+    embeds = st.parse_safeloras_embeds(tensors, metadata)
+    assert set(embeds) == {"<s1>", "<s2>"}
+    assert embeds["<s1>"].shape == (768,)
+
+
+def test_write_parse_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    flat = []
+    ranks = []
+    for _ in range(3):
+        r = int(rng.integers(1, 5))
+        flat += [rng.normal(size=(32, r)).astype(np.float16),
+                 rng.normal(size=(r, 16)).astype(np.float16)]
+        ranks.append(r)
+    embeds = {"<tok>": rng.normal(size=(768,)).astype(np.float32)}
+    p = str(tmp_path / "rt.safetensors")
+    st.write_safeloras(
+        {"unet": (flat, ranks, ["CrossAttention", "Attention", "GEGLU"])},
+        p, embeds=embeds,
+    )
+    loras = st.load_safeloras(p)
+    w, r, t = loras["unet"]
+    assert r == ranks
+    for a, b in zip(flat, w):
+        np.testing.assert_array_equal(a, b)
+    emb = st.load_safeloras_embeds(p)
+    np.testing.assert_array_equal(emb["<tok>"], embeds["<tok>"])
+
+
+def test_written_metadata_matches_reference_schema(tmp_path):
+    """Keys/metadata must follow lora.py:243-255 exactly so reference-side
+    tooling can read our files."""
+    flat = [np.ones((8, 2), np.float16), np.ones((2, 4), np.float16)]
+    p = str(tmp_path / "m.safetensors")
+    st.write_safeloras({"text_encoder": (flat, [2], ["CLIPAttention"])}, p,
+                       embeds={"<s1>": np.zeros(768, np.float32)})
+    tensors, metadata = st.read_safetensors(p)
+    assert set(tensors) == {"text_encoder:0:up", "text_encoder:0:down", "<s1>"}
+    assert json.loads(metadata["text_encoder"]) == ["CLIPAttention"]
+    assert metadata["text_encoder:0:rank"] == "2"
+    assert metadata["<s1>"] == st.EMBED_FLAG
+
+
+def test_pure_fallback_matches_lib(tmp_path):
+    """The numpy fallback reader/writer agrees with the safetensors lib."""
+    tensors = {"a:0:up": np.random.randn(4, 2).astype(np.float32),
+               "a:0:down": np.random.randn(2, 3).astype(np.float16)}
+    meta = {"a": json.dumps(["X"]), "a:0:rank": "2"}
+    p1 = str(tmp_path / "lib.safetensors")
+    st.write_safetensors(tensors, p1, meta)
+    t2, m2 = st._pure_read(p1)
+    assert m2 == meta
+    for k in tensors:
+        np.testing.assert_array_equal(tensors[k], t2[k])
+    p2 = str(tmp_path / "pure.safetensors")
+    st._pure_write(tensors, meta, p2)
+    t3, m3 = st.read_safetensors(p2)
+    assert m3 == meta
+    for k in tensors:
+        np.testing.assert_array_equal(tensors[k], t3[k])
