@@ -1,0 +1,79 @@
+"""Shared Flax building blocks: the LoRA-capable dense layer.
+
+The reference's ``LoraInjectedLinear`` (lora.py:32-50) computes
+``linear(x) + scale * lora_up(lora_down(x))`` by swapping module objects.
+Here every targetable dense layer is a :class:`LoRADense`: a plain dense
+whose forward adds the low-rank path **iff** the ``'lora'`` variable
+collection contains an entry at this module's path.  Injection/removal is
+pytree surgery on that collection (see diffusion_finetuning_tpu.lora);
+``scale`` is an array leaf so alpha sweeps never recompile.
+
+The low-rank path can run through the fused Pallas kernel
+(ops.lora_matmul) on TPU; the default XLA path is a pair of matmuls that
+XLA fuses into the surrounding computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+class LoRADense(nn.Module):
+    """Dense layer with an optional LoRA low-rank delta.
+
+    Weight convention: ``kernel`` is (in, out) as in Flax; the LoRA leaves
+    follow the reference on-disk layout — ``up`` (out, r), ``down`` (r, in)
+    (torch nn.Linear layout, lora.py:41-43) — so checkpoints round-trip
+    without transposes.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = default_kernel_init
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        dtype = self.dtype or x.dtype
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
+        )
+        x = x.astype(dtype)
+        y = jnp.dot(x, kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            y = y + bias.astype(dtype)
+        if self.has_variable("lora", "up"):
+            up = self.get_variable("lora", "up")
+            down = self.get_variable("lora", "down")
+            scale = self.get_variable("lora", "scale")
+            # x @ down.T @ up.T, accumulated in fp32 on the MXU, scaled.
+            h = jnp.dot(x, jnp.transpose(down).astype(dtype))
+            delta = jnp.dot(h, jnp.transpose(up).astype(dtype))
+            y = y + (scale.astype(dtype) * delta)
+        return y
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * nn.sigmoid(1.702 * x)
+
+
+ACT2FN = {
+    "quick_gelu": quick_gelu,
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "relu": nn.relu,
+    "mish": lambda x: x * jnp.tanh(nn.softplus(x)),
+}

@@ -1,0 +1,300 @@
+"""Noise schedulers: DDPM (training), DDIM and PNDM (inference).
+
+Replaces the reference's use of ``diffusers.DDPMScheduler`` (training:
+train_lora_dreambooth.py:737-742, cli_lora_pti.py:596-598) and the SD
+pipeline's inference schedulers.  Designed jit-first: all schedule tables are
+precomputed jnp arrays indexed by traced timestep tensors; ``step`` functions
+are pure and usable inside ``lax.scan``/``fori_loop`` denoise loops.
+
+Supports the SD defaults: scaled_linear betas (0.00085 -> 0.012, 1000 steps)
+and both ``epsilon`` and ``v_prediction`` targets (reference eps/v handling:
+train_lora_dreambooth.py:846-853, cli_lora_pti.py:215-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "epsilon"  # or "v_prediction"
+    clip_sample: bool = False
+    set_alpha_to_one: bool = False  # DDIM final-alpha convention (SD uses False)
+    steps_offset: int = 1  # SD pipelines use steps_offset=1
+
+    def betas(self) -> np.ndarray:
+        if self.beta_schedule == "scaled_linear":
+            return (
+                np.linspace(
+                    self.beta_start**0.5,
+                    self.beta_end**0.5,
+                    self.num_train_timesteps,
+                    dtype=np.float64,
+                )
+                ** 2
+            )
+        if self.beta_schedule == "linear":
+            return np.linspace(
+                self.beta_start, self.beta_end, self.num_train_timesteps, dtype=np.float64
+            )
+        if self.beta_schedule == "squaredcos_cap_v2":
+            t = np.arange(self.num_train_timesteps, dtype=np.float64)
+            f = lambda u: np.cos((u / self.num_train_timesteps + 0.008) / 1.008 * np.pi / 2) ** 2
+            return np.clip(1.0 - f(t + 1) / f(t), 0, 0.999)
+        raise ValueError(f"unknown beta schedule {self.beta_schedule}")
+
+
+class DDPMScheduler:
+    """Forward process + ancestral sampling step."""
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = config.betas()
+        alphas = 1.0 - betas
+        self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
+        self.betas = jnp.asarray(betas, jnp.float32)
+        self.alphas = jnp.asarray(alphas, jnp.float32)
+        self.num_train_timesteps = config.num_train_timesteps
+
+    # -- training ----------------------------------------------------------
+    def add_noise(
+        self, sample: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray
+    ) -> jnp.ndarray:
+        """x_t = sqrt(a_t) x_0 + sqrt(1-a_t) eps  (per-example timesteps)."""
+        a = self.alphas_cumprod[timesteps]
+        shape = (-1,) + (1,) * (sample.ndim - 1)
+        sqrt_a = jnp.sqrt(a).reshape(shape).astype(sample.dtype)
+        sqrt_1ma = jnp.sqrt(1.0 - a).reshape(shape).astype(sample.dtype)
+        return sqrt_a * sample + sqrt_1ma * noise
+
+    def get_velocity(
+        self, sample: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray
+    ) -> jnp.ndarray:
+        """v-prediction target: v = sqrt(a) eps - sqrt(1-a) x_0."""
+        a = self.alphas_cumprod[timesteps]
+        shape = (-1,) + (1,) * (sample.ndim - 1)
+        sqrt_a = jnp.sqrt(a).reshape(shape).astype(sample.dtype)
+        sqrt_1ma = jnp.sqrt(1.0 - a).reshape(shape).astype(sample.dtype)
+        return sqrt_a * noise - sqrt_1ma * sample
+
+    def training_target(
+        self, sample: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray
+    ) -> jnp.ndarray:
+        """epsilon or v target per config (reference cli_lora_pti.py:215-220)."""
+        if self.config.prediction_type == "epsilon":
+            return noise
+        if self.config.prediction_type == "v_prediction":
+            return self.get_velocity(sample, noise, timesteps)
+        raise ValueError(f"Unknown prediction type {self.config.prediction_type}")
+
+    # -- sampling ----------------------------------------------------------
+    def step(
+        self,
+        model_output: jnp.ndarray,
+        timestep: jnp.ndarray,
+        sample: jnp.ndarray,
+        rng: jax.Array,
+    ) -> jnp.ndarray:
+        t = timestep
+        a_t = self.alphas_cumprod[t]
+        a_prev = jnp.where(t > 0, self.alphas_cumprod[jnp.maximum(t - 1, 0)], 1.0)
+        beta_t = self.betas[t]
+        alpha_t = self.alphas[t]
+
+        x0 = self._predict_x0(model_output, sample, a_t)
+        if self.config.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        pred_orig_coeff = jnp.sqrt(a_prev) * beta_t / (1.0 - a_t)
+        current_coeff = jnp.sqrt(alpha_t) * (1.0 - a_prev) / (1.0 - a_t)
+        mean = pred_orig_coeff * x0 + current_coeff * sample
+
+        var = jnp.clip(beta_t * (1.0 - a_prev) / (1.0 - a_t), 1e-20, None)
+        noise = jax.random.normal(rng, sample.shape, sample.dtype)
+        return jnp.where(t > 0, mean + jnp.sqrt(var) * noise, mean)
+
+    def _predict_x0(self, model_output, sample, a_t):
+        if self.config.prediction_type == "epsilon":
+            return (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+        if self.config.prediction_type == "v_prediction":
+            return jnp.sqrt(a_t) * sample - jnp.sqrt(1.0 - a_t) * model_output
+        raise ValueError(self.config.prediction_type)
+
+
+class DDIMScheduler:
+    """Deterministic (eta=0) DDIM sampling over a strided timestep grid."""
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = config.betas()
+        self.alphas_cumprod = jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32)
+            if config.set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
+        self.num_train_timesteps = config.num_train_timesteps
+
+    def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        """Descending timestep grid with SD's steps_offset=1 convention."""
+        step = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int32)
+        ts = ts + self.config.steps_offset
+        ts = np.clip(ts, 0, self.num_train_timesteps - 1)
+        return jnp.asarray(ts)
+
+    def step(
+        self,
+        model_output: jnp.ndarray,
+        timestep: jnp.ndarray,
+        sample: jnp.ndarray,
+        num_inference_steps: int,
+        eta: float = 0.0,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        stride = self.num_train_timesteps // num_inference_steps
+        prev_t = timestep - stride
+        a_t = self.alphas_cumprod[timestep]
+        a_prev = jnp.where(
+            prev_t >= 0,
+            self.alphas_cumprod[jnp.maximum(prev_t, 0)],
+            self.final_alpha_cumprod,
+        )
+
+        if self.config.prediction_type == "epsilon":
+            x0 = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+            eps = model_output
+        elif self.config.prediction_type == "v_prediction":
+            x0 = jnp.sqrt(a_t) * sample - jnp.sqrt(1.0 - a_t) * model_output
+            eps = jnp.sqrt(a_t) * model_output + jnp.sqrt(1.0 - a_t) * sample
+        else:
+            raise ValueError(self.config.prediction_type)
+
+        if self.config.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        sigma = 0.0
+        if eta > 0.0:
+            var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+            sigma = eta * jnp.sqrt(var)
+
+        dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * eps
+        prev = jnp.sqrt(a_prev) * x0 + dir_xt
+        if eta > 0.0:
+            assert rng is not None, "eta>0 requires rng"
+            prev = prev + sigma * jax.random.normal(rng, sample.shape, sample.dtype)
+        return prev.astype(sample.dtype)
+
+
+class PNDMScheduler:
+    """PNDM (PLMS path) — Stable Diffusion's default inference scheduler.
+
+    Implements the pseudo linear multi-step method with ``skip_prk_steps=True``
+    (the SD pipeline configuration): the first step is a plain DDIM-like
+    (PRK-skipped) step, steps 2-4 ramp up the multistep history, and from the
+    4th step on the 4th-order Adams-Bashforth update is used.  State (the eps
+    history) is carried explicitly so the loop can live inside ``lax.scan``.
+    """
+
+    ORDER = 4
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = config.betas()
+        self.alphas_cumprod = jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32)
+            if config.set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
+        self.num_train_timesteps = config.num_train_timesteps
+
+    def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        """PLMS grid: DDIM grid with the second step duplicated
+        (skip_prk_steps=True behavior)."""
+        step = self.num_train_timesteps // num_inference_steps
+        base = (np.arange(0, num_inference_steps) * step).round().astype(np.int64)
+        base = base + self.config.steps_offset
+        ts = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1]
+        ts = np.clip(ts, 0, self.num_train_timesteps - 1)
+        return jnp.asarray(ts.astype(np.int32))
+
+    def init_state(self, sample_shape, dtype=jnp.float32):
+        return {
+            "ets": jnp.zeros((self.ORDER,) + tuple(sample_shape), dtype),
+            "counter": jnp.asarray(0, jnp.int32),
+            "cur_sample": jnp.zeros(sample_shape, dtype),
+        }
+
+    def step(self, model_output, timestep, sample, state, num_inference_steps):
+        stride = self.num_train_timesteps // num_inference_steps
+        counter = state["counter"]
+        prev_t = timestep - stride
+
+        # convert v-pred to eps if needed
+        a_t = self.alphas_cumprod[timestep]
+        if self.config.prediction_type == "v_prediction":
+            eps = jnp.sqrt(a_t) * model_output + jnp.sqrt(1.0 - a_t) * sample
+        else:
+            eps = model_output
+
+        # second "step" re-evaluates at the same t (counter==1): use midpoint
+        prev_t = jnp.where(counter == 1, timestep, prev_t)
+        timestep = jnp.where(counter == 1, timestep + stride, timestep)
+
+        ets = state["ets"]
+        push = jnp.logical_or(counter != 1, counter == 0)
+        ets = jnp.where(
+            push,
+            jnp.concatenate([ets[1:], eps[None]], axis=0),
+            ets,
+        )
+        n_hist = jnp.minimum(jnp.where(counter >= 1, counter, counter + 1), 4)
+
+        e1, e2, e3, e4 = ets[3], ets[2], ets[1], ets[0]
+        avg1 = eps
+        avg2 = (3 * e1 - e2) / 2
+        avg3 = (23 * e1 - 16 * e2 + 5 * e3) / 12
+        avg4 = (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24
+        mid = (ets[3] + eps) / 2  # counter==1 midpoint update
+
+        eps_used = jnp.where(
+            counter == 0,
+            avg1,
+            jnp.where(
+                counter == 1,
+                mid,
+                jnp.where(n_hist == 2, avg2, jnp.where(n_hist == 3, avg3, avg4)),
+            ),
+        )
+
+        cur_sample = jnp.where(counter == 1, state["cur_sample"], sample)
+        prev = self._prev_sample(cur_sample, timestep, prev_t, eps_used)
+        new_state = {
+            "ets": ets,
+            "counter": counter + 1,
+            "cur_sample": jnp.where(counter == 0, sample, state["cur_sample"]),
+        }
+        return prev, new_state
+
+    def _prev_sample(self, sample, t, prev_t, eps):
+        a_t = self.alphas_cumprod[t]
+        a_prev = jnp.where(
+            prev_t >= 0, self.alphas_cumprod[jnp.maximum(prev_t, 0)], self.final_alpha_cumprod
+        )
+        # PNDM eq (9): x_prev = (a_prev/a_t)^0.5 x - (a_prev - a_t) eps /
+        #   (a_t^0.5 ((a_prev a_t)^0.5 + ((1-a_prev) a_t)^0.5 ... ))
+        sample_coeff = jnp.sqrt(a_prev / a_t)
+        denom = a_t * jnp.sqrt(1.0 - a_prev) + jnp.sqrt(a_t * a_prev * (1.0 - a_t))
+        eps_coeff = (a_prev - a_t) / denom
+        return sample_coeff * sample - eps_coeff * eps

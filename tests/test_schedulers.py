@@ -1,0 +1,155 @@
+"""Scheduler math tests: forward-process identities and sampler consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_finetuning_tpu.models.schedulers import (
+    DDIMScheduler,
+    DDPMScheduler,
+    PNDMScheduler,
+    SchedulerConfig,
+)
+
+
+def test_betas_scaled_linear_matches_sd():
+    cfg = SchedulerConfig()
+    betas = cfg.betas()
+    assert betas[0] == pytest.approx(0.00085, rel=1e-6)
+    assert betas[-1] == pytest.approx(0.012, rel=1e-6)
+    assert len(betas) == 1000
+    # scaled_linear means sqrt(betas) is linear
+    d = np.diff(np.sqrt(betas))
+    np.testing.assert_allclose(d, d[0], rtol=1e-6)
+
+
+def test_add_noise_identity():
+    sch = DDPMScheduler()
+    x0 = jnp.ones((2, 4, 8, 8))
+    eps = jnp.zeros_like(x0)
+    t = jnp.array([0, 999])
+    noisy = sch.add_noise(x0, eps, t)
+    a = np.asarray(sch.alphas_cumprod)
+    np.testing.assert_allclose(np.asarray(noisy[0]), np.sqrt(a[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(noisy[1]), np.sqrt(a[999]), rtol=1e-5)
+
+
+def test_velocity_roundtrip():
+    """x0 can be recovered from (x_t, v): x0 = sqrt(a) x_t - sqrt(1-a) v."""
+    sch = DDPMScheduler(SchedulerConfig(prediction_type="v_prediction"))
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (2, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.array([100, 700])
+    xt = sch.add_noise(x0, eps, t)
+    v = sch.get_velocity(x0, eps, t)
+    a = sch.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+    x0_rec = jnp.sqrt(a) * xt - jnp.sqrt(1 - a) * v
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0), atol=1e-5)
+
+
+def test_ddim_perfect_eps_recovers_x0():
+    """With the true eps as model output, DDIM at any stride ends at x0."""
+    cfg = SchedulerConfig(set_alpha_to_one=True, steps_offset=0)
+    ddim = DDIMScheduler(cfg)
+    ddpm = DDPMScheduler(cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    n_steps = 10
+    ts = ddim.timesteps(n_steps)
+    # start from the fully specified x_T for the first grid point
+    sample = ddpm.add_noise(x0, eps, jnp.array([int(ts[0])]))
+    for t in np.asarray(ts):
+        # oracle eps for the *current* sample: eps_t = (x_t - sqrt(a) x0)/sqrt(1-a)
+        a = ddim.alphas_cumprod[t]
+        oracle = (sample - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        sample = ddim.step(oracle, jnp.asarray(t), sample, n_steps)
+    np.testing.assert_allclose(np.asarray(sample), np.asarray(x0), atol=1e-4)
+
+
+def test_ddpm_step_reduces_noise():
+    sch = DDPMScheduler()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8))
+    eps = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    t = jnp.asarray(500)
+    xt = sch.add_noise(x0, eps, jnp.array([500]))
+    out = sch.step(eps, t, xt, jax.random.PRNGKey(2))
+    # posterior mean moves toward x0
+    assert float(jnp.abs(out - x0).mean()) < float(jnp.abs(xt - x0).mean())
+
+
+def test_ddim_timesteps_sd_convention():
+    ddim = DDIMScheduler()
+    ts = np.asarray(ddim.timesteps(50))
+    assert len(ts) == 50
+    assert ts[0] == 981 and ts[-1] == 1  # stride 20, offset 1
+    assert all(np.diff(ts) == -20)
+
+
+class NumpyPLMS:
+    """Straight-line numpy PLMS (skip_prk_steps=True) with python control
+    flow — the readable reference the scan-friendly PNDMScheduler must match."""
+
+    def __init__(self, cfg: SchedulerConfig):
+        betas = cfg.betas()
+        self.acp = np.cumprod(1.0 - betas)
+        self.final = 1.0 if cfg.set_alpha_to_one else self.acp[0]
+        self.T = cfg.num_train_timesteps
+        self.cfg = cfg
+        self.ets = []
+        self.counter = 0
+        self.cur_sample = None
+
+    def _prev(self, sample, t, prev_t, eps):
+        a_t = self.acp[t]
+        a_prev = self.acp[prev_t] if prev_t >= 0 else self.final
+        c = (a_prev / a_t) ** 0.5
+        denom = a_t * (1 - a_prev) ** 0.5 + (a_t * a_prev * (1 - a_t)) ** 0.5
+        return c * sample - (a_prev - a_t) / denom * eps
+
+    def step(self, eps, t, sample, n_steps):
+        stride = self.T // n_steps
+        prev_t = t - stride
+        if self.counter != 1:
+            self.ets = self.ets[-3:] + [eps]
+        else:
+            prev_t = t
+            t = t + stride
+
+        if len(self.ets) == 1 and self.counter == 0:
+            used = eps
+            self.cur_sample = sample
+        elif len(self.ets) == 1 and self.counter == 1:
+            used = (eps + self.ets[-1]) / 2
+            sample = self.cur_sample
+        elif len(self.ets) == 2:
+            used = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            used = (23 * self.ets[-1] - 16 * self.ets[-2] + 5 * self.ets[-3]) / 12
+        else:
+            used = (55 * self.ets[-1] - 59 * self.ets[-2] + 37 * self.ets[-3]
+                    - 9 * self.ets[-4]) / 24
+        self.counter += 1
+        return self._prev(sample, t, prev_t, used)
+
+
+def test_pndm_matches_numpy_reference():
+    cfg = SchedulerConfig()
+    sch = PNDMScheduler(cfg)
+    ref = NumpyPLMS(cfg)
+    n = 10
+    ts = np.asarray(sch.timesteps(n))
+    assert len(ts) == n + 1  # duplicated second step
+    rng = np.random.default_rng(0)
+    sample_ref = rng.normal(size=(1, 4, 8, 8)).astype(np.float32)
+    sample_jax = jnp.asarray(sample_ref)
+    state = sch.init_state(sample_ref.shape)
+    for i, t in enumerate(ts):
+        eps = rng.normal(size=sample_ref.shape).astype(np.float32)
+        sample_ref = ref.step(eps, int(t), sample_ref, n)
+        sample_jax, state = sch.step(jnp.asarray(eps), jnp.asarray(int(t)),
+                                     sample_jax, state, n)
+        np.testing.assert_allclose(np.asarray(sample_jax), sample_ref,
+                                   atol=1e-4, err_msg=f"step {i} t={t}")
