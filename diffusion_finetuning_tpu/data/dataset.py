@@ -1,0 +1,441 @@
+"""Host-side data pipeline: datasets for DreamBooth / PTI training.
+
+Torch-free re-implementation of the reference datasets
+(lora_diffusion/dataset.py:77-250, train_lora_dreambooth.py:51-162) on
+PIL+numpy, producing NHWC float32 arrays in [-1, 1] with **static shapes**
+(square crops) so XLA never recompiles.
+
+Behavioral notes vs the reference:
+* torchvision ``Resize(size)`` resizes the short side only; non-square
+  sources would produce ragged tensors that crash torch's collate at
+  batch>1.  Here images are short-side-resized then center-cropped square —
+  identical for square sources, well-defined otherwise.
+* Face-mask conditioning (dataset.py:176-220) uses any detector producing
+  boxes; mediapipe isn't in the image, so an OpenCV Haar cascade is used
+  when available, else a full-ones mask.  The box -> 255-rect ->
+  GaussianBlur(blur_amount) -> resize pipeline matches the reference.
+
+The prompt-template lists are the standard textual-inversion templates the
+reference trains with (dataset.py:11-61) — data constants kept verbatim for
+caption parity.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageFilter
+
+OBJECT_TEMPLATE = [
+    "a photo of a {}",
+    "a rendering of a {}",
+    "a cropped photo of the {}",
+    "the photo of a {}",
+    "a photo of a clean {}",
+    "a photo of a dirty {}",
+    "a dark photo of the {}",
+    "a photo of my {}",
+    "a photo of the cool {}",
+    "a close-up photo of a {}",
+    "a bright photo of the {}",
+    "a cropped photo of a {}",
+    "a photo of the {}",
+    "a good photo of the {}",
+    "a photo of one {}",
+    "a close-up photo of the {}",
+    "a rendition of the {}",
+    "a photo of the clean {}",
+    "a rendition of a {}",
+    "a photo of a nice {}",
+    "a good photo of a {}",
+    "a photo of the nice {}",
+    "a photo of the small {}",
+    "a photo of the weird {}",
+    "a photo of the large {}",
+    "a photo of a cool {}",
+    "a photo of a small {}",
+]
+
+STYLE_TEMPLATE = [
+    "a painting in the style of {}",
+    "a rendering in the style of {}",
+    "a cropped painting in the style of {}",
+    "the painting in the style of {}",
+    "a clean painting in the style of {}",
+    "a dirty painting in the style of {}",
+    "a dark painting in the style of {}",
+    "a picture in the style of {}",
+    "a cool painting in the style of {}",
+    "a close-up painting in the style of {}",
+    "a bright painting in the style of {}",
+    "a cropped painting in the style of {}",
+    "a good painting in the style of {}",
+    "a close-up painting in the style of {}",
+    "a rendition in the style of {}",
+    "a nice painting in the style of {}",
+    "a small painting in the style of {}",
+    "a weird painting in the style of {}",
+    "a large painting in the style of {}",
+]
+
+
+# ---------------------------------------------------------------------------
+# transforms (torchvision-semantics on PIL/numpy)
+# ---------------------------------------------------------------------------
+
+
+def resize_short_side(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(size, round(h * size / w))
+    else:
+        nw, nh = max(size, round(w * size / h)), size
+    return img.resize((nw, nh), Image.BILINEAR)
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def color_jitter(img: Image.Image, brightness: float, contrast: float,
+                 rng: random.Random) -> Image.Image:
+    """torchvision ColorJitter(brightness, contrast) semantics: factors drawn
+    uniformly from [max(0,1-x), 1+x], applied in random order."""
+    ops = []
+    if brightness > 0:
+        b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(b))
+    if contrast > 0:
+        c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(c))
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+def to_normalized_array(img: Image.Image) -> np.ndarray:
+    """ToTensor + Normalize(0.5, 0.5): HWC float32 in [-1, 1]."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr * 2.0 - 1.0
+
+
+def detect_face_boxes(path: str) -> Tuple[Optional[List[Tuple[int, int, int, int]]], Tuple[int, int]]:
+    """Face bounding boxes (x, y, w, h) and the source (H, W).
+
+    Stands in for the reference's mediapipe detector (dataset.py:142-148);
+    OpenCV Haar cascade when available.
+    """
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            return None, (0, 0)
+        h, w = img.shape[:2]
+        cascade_path = os.path.join(
+            cv2.data.haarcascades, "haarcascade_frontalface_default.xml"
+        )
+        det = cv2.CascadeClassifier(cascade_path)
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        faces = det.detectMultiScale(gray, 1.1, 4)
+        return [tuple(int(v) for v in f) for f in faces], (h, w)
+    except Exception:
+        return None, (0, 0)
+
+
+def face_mask(path: str, size: int, blur_amount: int) -> np.ndarray:
+    """255-rect over detected faces -> GaussianBlur(blur) -> short-side
+    resize+crop to (size, size, 1) float in [0,1] (dataset.py:183-220)."""
+    boxes, (h, w) = detect_face_boxes(path)
+    if not boxes or h == 0:
+        black = np.full((size, size), 255, np.uint8)  # no detector/faces: keep all
+    else:
+        black = np.zeros((h, w), np.uint8)
+        for (x, y, bw, bh) in boxes:
+            black[y: y + bh, x: x + bw] = 255
+    m = Image.fromarray(black, mode="L").filter(
+        ImageFilter.GaussianBlur(radius=blur_amount)
+    )
+    m = center_crop(resize_short_side(m, size), size)
+    return (np.asarray(m, np.float32) / 255.0)[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# datasets
+# ---------------------------------------------------------------------------
+
+_IMG_EXT = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+
+
+def _image_paths(root) -> List[Path]:
+    return sorted(p for p in Path(root).iterdir() if p.suffix.lower() in _IMG_EXT)
+
+
+class PivotalTuningDatasetCapation:
+    """Reference dataset.py:77-250 — template or filename-stem captions,
+    optional prior-preservation class branch, optional face mask."""
+
+    def __init__(
+        self,
+        instance_data_root: str,
+        stochastic_attribute: Optional[str] = None,  # kept for API parity
+        tokenizer=None,
+        token_map: Optional[dict] = None,
+        use_template: Optional[str] = None,
+        class_data_root: Optional[str] = None,
+        class_prompt: Optional[str] = None,
+        size: int = 512,
+        h_flip: bool = True,
+        color_jitter: bool = False,
+        resize: bool = True,
+        use_face_segmentation_condition: bool = False,
+        blur_amount: int = 70,
+        seed: Optional[int] = None,
+    ):
+        self.size = size
+        self.tokenizer = tokenizer
+        self.resize = resize
+        root = Path(instance_data_root)
+        if not root.exists():
+            raise ValueError("Instance images root doesn't exists.")
+        self.instance_images_path = _image_paths(root)
+        self.num_instance_images = len(self.instance_images_path)
+        self.token_map = token_map
+        self.use_template = use_template
+        self.templates = OBJECT_TEMPLATE if use_template == "object" else STYLE_TEMPLATE
+        self._length = self.num_instance_images
+        if class_data_root is not None:
+            Path(class_data_root).mkdir(parents=True, exist_ok=True)
+            self.class_images_path = _image_paths(class_data_root)
+            self.num_class_images = len(self.class_images_path)
+            self._length = max(self.num_class_images, self.num_instance_images)
+            self.class_prompt = class_prompt
+            self.class_data_root = class_data_root
+        else:
+            self.class_data_root = None
+        self.h_flip = h_flip
+        self.color_jitter = color_jitter
+        self.use_face_segmentation_condition = use_face_segmentation_condition
+        self.blur_amount = blur_amount
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return self._length
+
+    def _load_image(self, path: Path) -> np.ndarray:
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if self.resize:
+            img = center_crop(resize_short_side(img, self.size), self.size)
+        if self.color_jitter:
+            img = color_jitter(img, 0.1, 0.1, self.rng)
+        return to_normalized_array(img)
+
+    def _tokenize(self, text: str):
+        return self.tokenizer(
+            text,
+            padding="do_not_pad",
+            truncation=True,
+            max_length=self.tokenizer.model_max_length,
+        )["input_ids"]
+
+    def __getitem__(self, index: int) -> Dict:
+        example: Dict = {}
+        path = self.instance_images_path[index % self.num_instance_images]
+        example["instance_images"] = self._load_image(path)
+
+        if self.use_template:
+            assert self.token_map is not None
+            input_tok = list(self.token_map.values())[0]
+            text = self.rng.choice(self.templates).format(input_tok)
+        else:
+            text = path.stem
+            if self.token_map is not None:
+                for token, value in self.token_map.items():
+                    text = text.replace(token, value)
+
+        if self.use_face_segmentation_condition:
+            example["mask"] = face_mask(str(path), self.size, self.blur_amount)
+
+        if self.h_flip and self.rng.random() > 0.5:
+            example["instance_images"] = example["instance_images"][:, ::-1].copy()
+            if "mask" in example:
+                example["mask"] = example["mask"][:, ::-1].copy()
+
+        example["instance_prompt_ids"] = self._tokenize(text)
+        example["caption"] = text
+
+        if self.class_data_root:
+            cpath = self.class_images_path[index % self.num_class_images]
+            example["class_images"] = self._load_image(cpath)
+            example["class_prompt_ids"] = self._tokenize(self.class_prompt)
+        return example
+
+
+class DreamBoothDataset:
+    """Reference train_lora_dreambooth.py:51-145 — fixed instance prompt,
+    optional center crop / jitter / h-flip, prior-preservation branch."""
+
+    def __init__(
+        self,
+        instance_data_root: str,
+        instance_prompt: str,
+        tokenizer,
+        class_data_root: Optional[str] = None,
+        class_prompt: Optional[str] = None,
+        size: int = 512,
+        center_crop: bool = False,
+        color_jitter: bool = False,
+        h_flip: bool = False,
+        resize: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.size = size
+        self.center_crop = center_crop
+        self.tokenizer = tokenizer
+        root = Path(instance_data_root)
+        if not root.exists():
+            raise ValueError("Instance images root doesn't exists.")
+        self.instance_images_path = _image_paths(root)
+        self.num_instance_images = len(self.instance_images_path)
+        self.instance_prompt = instance_prompt
+        self._length = self.num_instance_images
+        if class_data_root is not None:
+            Path(class_data_root).mkdir(parents=True, exist_ok=True)
+            self.class_images_path = _image_paths(class_data_root)
+            self.num_class_images = len(self.class_images_path)
+            self._length = max(self.num_class_images, self.num_instance_images)
+            self.class_prompt = class_prompt
+            self.class_data_root = class_data_root
+        else:
+            self.class_data_root = None
+        self.color_jitter = color_jitter
+        self.h_flip = h_flip
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return self._length
+
+    def _load_image(self, path: Path) -> np.ndarray:
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        img = resize_short_side(img, self.size)
+        img = center_crop(img, self.size)
+        if self.color_jitter:
+            img = color_jitter(img, 0.2, 0.1, self.rng)
+        arr = to_normalized_array(img)
+        if self.h_flip and self.rng.random() > 0.5:
+            arr = arr[:, ::-1].copy()
+        return arr
+
+    def _tokenize(self, text: str):
+        return self.tokenizer(
+            text,
+            padding="do_not_pad",
+            truncation=True,
+            max_length=self.tokenizer.model_max_length,
+        )["input_ids"]
+
+    def __getitem__(self, index: int) -> Dict:
+        example = {
+            "instance_images": self._load_image(
+                self.instance_images_path[index % self.num_instance_images]
+            ),
+            "instance_prompt_ids": self._tokenize(self.instance_prompt),
+        }
+        if self.class_data_root:
+            example["class_images"] = self._load_image(
+                self.class_images_path[index % self.num_class_images]
+            )
+            example["class_prompt_ids"] = self._tokenize(self.class_prompt)
+        return example
+
+
+class PromptDataset:
+    """Prompt+index pairs for class-image synthesis
+    (train_lora_dreambooth.py:148-162)."""
+
+    def __init__(self, prompt: str, num_samples: int):
+        self.prompt = prompt
+        self.num_samples = num_samples
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, index):
+        return {"prompt": self.prompt, "index": index}
+
+
+# ---------------------------------------------------------------------------
+# loader: shuffled batches, 77-padded ids, NHWC stacking, device prefetch
+# ---------------------------------------------------------------------------
+
+
+def collate_batch(examples: Sequence[Dict], pad_token_id: int,
+                  max_length: int = 77) -> Dict[str, np.ndarray]:
+    """Reference collate (cli_lora_pti.py:130-158): class examples appended
+    after instance examples; ids padded to model_max_length."""
+    input_ids = [e["instance_prompt_ids"] for e in examples]
+    pixel_values = [e["instance_images"] for e in examples]
+    if examples[0].get("class_prompt_ids") is not None:
+        input_ids += [e["class_prompt_ids"] for e in examples]
+        pixel_values += [e["class_images"] for e in examples]
+
+    def pad(ids):
+        ids = list(ids)[:max_length]
+        return ids + [pad_token_id] * (max_length - len(ids))
+
+    batch = {
+        "input_ids": np.asarray([pad(i) for i in input_ids], np.int32),
+        "pixel_values": np.stack(pixel_values).astype(np.float32),
+    }
+    if examples[0].get("mask") is not None:
+        batch["mask"] = np.stack([e["mask"] for e in examples]).astype(np.float32)
+    return batch
+
+
+class DataLoader:
+    """Minimal shuffled epoch loader with background prefetch."""
+
+    def __init__(self, dataset, batch_size: int, pad_token_id: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.pad_token_id = pad_token_id
+        self.shuffle = shuffle
+        self.rng = random.Random(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return max(1, n)
+
+    def __iter__(self):
+        idxs = list(range(len(self.dataset)))
+        if self.shuffle:
+            self.rng.shuffle(idxs)
+        # batch_size may exceed the dataset (bs=1 repeats): wrap around
+        while len(idxs) < self.batch_size:
+            idxs = idxs + idxs
+        for i in range(len(self)):
+            chunk = idxs[i * self.batch_size: (i + 1) * self.batch_size]
+            if not chunk:
+                break
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            examples = [self.dataset[j] for j in chunk]
+            yield collate_batch(examples, self.pad_token_id)

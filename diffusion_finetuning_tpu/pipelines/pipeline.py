@@ -1,0 +1,442 @@
+"""Stable Diffusion txt2img / img2img pipeline, jit-compiled denoise loop.
+
+Replaces ``diffusers.StableDiffusionPipeline`` for everything the reference
+uses it for: inference with LoRA patching (``patch_pipe`` + ``pipe(prompt)``,
+reference: lora_diffusion/utils.py:191-211 and the notebooks), class-image
+synthesis during DreamBooth prior preservation
+(train_lora_dreambooth.py:512-558), and img2img
+(scripts/run_img2img.ipynb).
+
+TPU design: the entire CFG denoise loop is one ``jax.jit`` containing a
+``lax.scan`` over timesteps — one compilation per (resolution, step count,
+scheduler) combination; LoRA trees and the guidance scale are runtime
+arguments, so ``tune_lora_scale`` sweeps and re-patching never recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import lora as lora_lib
+from ..models import hf_loading
+from ..models.clip_text import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    resize_token_embeddings,
+    text_encoder_lora_targets,
+)
+from ..models.schedulers import DDIMScheduler, PNDMScheduler, SchedulerConfig
+from ..models.unet import UNet2DConditionModel, UNetConfig, unet_lora_targets
+from ..models.vae import SCALING_FACTOR, AutoencoderKL, VAEConfig
+from ..data.tokenizer import CLIPTokenizer
+
+
+def apply_learned_embed_in_clip(
+    learned_embeds: Dict[str, np.ndarray],
+    text_params: dict,
+    tokenizer: CLIPTokenizer,
+    token: Optional[Union[str, List[str]]] = None,
+    idempotent: bool = False,
+) -> Tuple[dict, Union[str, List[str]]]:
+    """Add TI tokens to the tokenizer and write their embedding rows.
+
+    Functional version of reference lora.py:613-656 including the
+    collision-rename loop (``token[:-1]-i>``) when not idempotent.  Returns
+    (new_text_params, final token names).
+    """
+    if isinstance(token, str):
+        trained_tokens = [token]
+    elif isinstance(token, list):
+        assert len(learned_embeds.keys()) == len(token), (
+            "The number of tokens and the number of embeds should be the same"
+        )
+        trained_tokens = token
+    else:
+        trained_tokens = list(learned_embeds.keys())
+
+    final_tokens = []
+    for tok, embeds in zip(trained_tokens, [learned_embeds[t] for t in trained_tokens]):
+        num_added = tokenizer.add_tokens(tok)
+        i = 1
+        if not idempotent:
+            while num_added == 0:
+                print(f"The tokenizer already contains the token {tok}.")
+                tok = f"{tok[:-1]}-{i}>"
+                print(f"Attempting to add the token {tok}.")
+                num_added = tokenizer.add_tokens(tok)
+                i += 1
+        elif num_added == 0 and idempotent:
+            print(f"The tokenizer already contains the token {tok}.")
+            print(f"Replacing {tok} embedding.")
+
+        text_params = resize_token_embeddings(text_params, len(tokenizer))
+        token_id = tokenizer.convert_tokens_to_ids(tok)
+        emb = text_params["token_embedding"]["embedding"]
+        emb = emb.at[token_id].set(jnp.asarray(np.asarray(embeds, np.float32)))
+        text_params = {**text_params, "token_embedding": {"embedding": emb}}
+        final_tokens.append(tok)
+    return text_params, (final_tokens[0] if len(final_tokens) == 1 else final_tokens)
+
+
+def load_learned_embed_in_clip(
+    learned_embeds_path: str,
+    text_params: dict,
+    tokenizer: CLIPTokenizer,
+    token: Optional[Union[str, List[str]]] = None,
+    idempotent: bool = False,
+):
+    from ..io import torch_pickle
+
+    learned_embeds = torch_pickle.load(learned_embeds_path)
+    return apply_learned_embed_in_clip(
+        learned_embeds, text_params, tokenizer, token, idempotent
+    )
+
+
+class StableDiffusionPipeline:
+    """Bundles unet/vae/text-encoder modules + params + tokenizer + scheduler.
+
+    Mutable LoRA state (``unet_lora`` / ``text_encoder_lora``) mirrors the
+    reference's in-place monkeypatching workflow: ``patch_pipe`` swaps the
+    trees, ``tune_lora_scale`` retunes them, generation picks them up — all
+    without touching the jit cache.
+    """
+
+    def __init__(
+        self,
+        unet_config: UNetConfig,
+        unet_params: dict,
+        vae_config: VAEConfig,
+        vae_params: dict,
+        text_config: CLIPTextConfig,
+        text_params: dict,
+        tokenizer: CLIPTokenizer,
+        scheduler_config: Optional[SchedulerConfig] = None,
+        dtype: Any = jnp.float32,
+    ):
+        self.dtype = dtype
+        self.unet_config = unet_config
+        self.unet = UNet2DConditionModel(unet_config, dtype=dtype)
+        self.unet_params = unet_params
+        self.vae_config = vae_config
+        self.vae = AutoencoderKL(vae_config, dtype=dtype)
+        self.vae_params = vae_params
+        self.text_config = text_config
+        self.text_encoder = CLIPTextModel(text_config, dtype=dtype)
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.scheduler_config = scheduler_config or SchedulerConfig()
+        self.unet_lora: Optional[dict] = None
+        self.text_encoder_lora: Optional[dict] = None
+
+    @property
+    def vae_scale_factor(self) -> int:
+        """Spatial downscale between images and latents (8 for SD)."""
+        return 2 ** (len(self.vae_config.block_out_channels) - 1)
+
+    # -- reference-compat model addressing ---------------------------------
+    def lora_targets(self, name: str, target_replace: set) -> list:
+        if name == "unet":
+            return lora_lib.filter_targets(
+                unet_lora_targets(self.unet_config), target_replace
+            )
+        if name == "text_encoder":
+            return lora_lib.filter_targets(
+                text_encoder_lora_targets(self.text_config), target_replace
+            )
+        raise KeyError(name)
+
+    @classmethod
+    def from_pretrained(
+        cls, model_dir: str, dtype: Any = jnp.float32
+    ) -> "StableDiffusionPipeline":
+        comps = hf_loading.load_pipeline_components(model_dir)
+        import os
+
+        tokenizer = CLIPTokenizer.from_pretrained(os.path.join(model_dir, "tokenizer"))
+        sc = comps["scheduler_config"]
+        sched = SchedulerConfig(
+            num_train_timesteps=sc.get("num_train_timesteps", 1000),
+            beta_start=sc.get("beta_start", 0.00085),
+            beta_end=sc.get("beta_end", 0.012),
+            beta_schedule=sc.get("beta_schedule", "scaled_linear"),
+            prediction_type=sc.get("prediction_type", "epsilon"),
+            steps_offset=sc.get("steps_offset", 1),
+            set_alpha_to_one=sc.get("set_alpha_to_one", False),
+        )
+        return cls(
+            comps["unet_config"], comps["unet_params"],
+            comps["vae_config"], comps["vae_params"],
+            comps["text_config"], comps["text_params"],
+            tokenizer, sched, dtype=dtype,
+        )
+
+    # -- text encoding ------------------------------------------------------
+    def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
+        ids = self.tokenizer(
+            list(prompts), padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length, return_tensors="np",
+        )["input_ids"]
+        variables = {"params": self.text_params}
+        if self.text_encoder_lora is not None:
+            variables["lora"] = self.text_encoder_lora
+        return self.text_encoder.apply(variables, jnp.asarray(ids))
+
+    # -- compiled denoise loop ---------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _denoise_fn(self, num_steps: int, height: int, width: int, scheduler: str):
+        sched_cfg = self.scheduler_config
+        if scheduler == "ddim":
+            sch = DDIMScheduler(sched_cfg)
+        elif scheduler == "pndm":
+            sch = PNDMScheduler(sched_cfg)
+        else:
+            raise ValueError(f"unknown scheduler {scheduler}")
+        timesteps = sch.timesteps(num_steps)
+        unet = self.unet
+        use_pndm = scheduler == "pndm"
+
+        def run(unet_params, unet_lora, latents, context, guidance_scale):
+            # context: (2B, 77, D) = [uncond; cond]
+            variables = {"params": unet_params}
+            if unet_lora is not None:
+                variables["lora"] = unet_lora
+
+            def unet_eps(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.broadcast_to(t, (x2.shape[0],))
+                eps = unet.apply(variables, x2, t2, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+            if use_pndm:
+                state = sch.init_state(latents.shape, latents.dtype)
+
+                def body(carry, t):
+                    x, st = carry
+                    eps = unet_eps(x, t)
+                    x, st = sch.step(eps, t, x, st, num_steps)
+                    return (x, st), None
+
+                (latents, _), _ = jax.lax.scan(body, (latents, state), timesteps)
+            else:
+
+                def body(x, t):
+                    eps = unet_eps(x, t)
+                    return sch.step(eps, t, x, num_steps), None
+
+                latents, _ = jax.lax.scan(body, latents, timesteps)
+
+            images = self.vae.apply(
+                {"params": self.vae_params},
+                (latents / SCALING_FACTOR).astype(self.dtype),
+                method=self.vae.decode,
+            )
+            return images
+
+        return jax.jit(run)
+
+    # -- generation ---------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        negative_prompt: Union[str, Sequence[str]] = "",
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        rng: Optional[jax.Array] = None,
+        seed: int = 0,
+        scheduler: str = "ddim",
+        latents: Optional[jnp.ndarray] = None,
+        output_type: str = "pil",
+    ):
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negs = (
+            [negative_prompt] * len(prompts)
+            if isinstance(negative_prompt, str)
+            else list(negative_prompt)
+        )
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+
+        context = jnp.concatenate(
+            [self.encode_prompt(negs), self.encode_prompt(prompts)], axis=0
+        ).astype(self.dtype)
+
+        b = len(prompts)
+        factor = self.vae_scale_factor
+        h_l, w_l = height // factor, width // factor
+        if latents is None:
+            latents = jax.random.normal(
+                rng, (b, h_l, w_l, self.unet_config.in_channels), jnp.float32
+            )
+
+        fn = self._denoise_fn(num_inference_steps, height, width, scheduler)
+        images = fn(
+            self.unet_params, self.unet_lora, latents, context,
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
+        return self._postprocess(images, output_type)
+
+    def img2img(
+        self,
+        prompt: Union[str, Sequence[str]],
+        init_image: np.ndarray,  # (H, W, 3) float in [0,1] or uint8
+        strength: float = 0.75,
+        negative_prompt: Union[str, Sequence[str]] = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        output_type: str = "pil",
+    ):
+        """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow)."""
+        from ..models.schedulers import DDIMScheduler, DDPMScheduler
+
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        img = np.asarray(init_image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        x = jnp.asarray(img)[None] * 2.0 - 1.0  # (1,H,W,3) in [-1,1]
+
+        rng = jax.random.PRNGKey(seed)
+        r_enc, r_noise, r_lat = jax.random.split(rng, 3)
+        post = self.vae.apply(
+            {"params": self.vae_params}, x.astype(self.dtype), method=self.vae.encode
+        )
+        latents0 = post.sample(r_enc) * SCALING_FACTOR
+
+        sch = DDIMScheduler(self.scheduler_config)
+        ts = np.asarray(sch.timesteps(num_inference_steps))
+        t_start = int(min(len(ts) - 1, round((1 - strength) * len(ts))))
+        ts_used = ts[t_start:]
+
+        ddpm = DDPMScheduler(self.scheduler_config)
+        noise = jax.random.normal(r_noise, latents0.shape, jnp.float32)
+        latents = ddpm.add_noise(
+            latents0.astype(jnp.float32), noise, jnp.array([int(ts_used[0])])
+        )
+
+        negs = [negative_prompt] * len(prompts) if isinstance(negative_prompt, str) else list(negative_prompt)
+        context = jnp.concatenate(
+            [self.encode_prompt(negs), self.encode_prompt(prompts)], axis=0
+        ).astype(self.dtype)
+
+        variables = {"params": self.unet_params}
+        if self.unet_lora is not None:
+            variables["lora"] = self.unet_lora
+
+        @jax.jit
+        def run(latents, context, gs):
+            def body(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.broadcast_to(t, (x2.shape[0],))
+                eps = self.unet.apply(variables, x2, t2, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + gs * (eps_c - eps_u)
+                return sch.step(eps, t, x, num_inference_steps), None
+
+            latents, _ = jax.lax.scan(body, latents, jnp.asarray(ts_used))
+            return self.vae.apply(
+                {"params": self.vae_params},
+                (latents / SCALING_FACTOR).astype(self.dtype),
+                method=self.vae.decode,
+            )
+
+        images = run(latents, context, jnp.asarray(guidance_scale, jnp.float32))
+        return self._postprocess(images, output_type)
+
+    @staticmethod
+    def _postprocess(images: jnp.ndarray, output_type: str):
+        images = np.asarray(images.astype(jnp.float32))
+        images = np.clip(images / 2 + 0.5, 0.0, 1.0)
+        if output_type == "np":
+            return images
+        images = (images * 255).round().astype(np.uint8)
+        if output_type == "pil":
+            from PIL import Image
+
+            return [Image.fromarray(im) for im in images]
+        return images
+
+
+# ---------------------------------------------------------------------------
+# patch_pipe / tune_lora_scale on the pipe (reference lora.py:672-732, 597-600)
+# ---------------------------------------------------------------------------
+
+
+def patch_pipe(
+    pipe: StableDiffusionPipeline,
+    maybe_unet_path: str,
+    token: Optional[str] = None,
+    r: int = 4,
+    patch_unet: bool = True,
+    patch_text: bool = False,
+    patch_ti: bool = False,
+    idempotent_token: bool = True,
+    unet_target_replace_module: set = lora_lib.DEFAULT_TARGET_REPLACE,
+    text_target_replace_module: set = lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+) -> StableDiffusionPipeline:
+    """One-call patch of a pipeline from ``.pt`` sidecar files or a
+    consolidated ``.safetensors`` (reference lora.py:672-732)."""
+    if maybe_unet_path.endswith(".pt"):
+        if maybe_unet_path.endswith(".ti.pt"):
+            unet_path = maybe_unet_path[:-6] + ".pt"
+        elif maybe_unet_path.endswith(".text_encoder.pt"):
+            unet_path = maybe_unet_path[:-16] + ".pt"
+        else:
+            unet_path = maybe_unet_path
+        ti_path = lora_lib._ti_lora_path(unet_path)
+        text_path = lora_lib._text_lora_path(unet_path)
+
+        import os
+
+        if patch_unet:
+            print("LoRA : Patching Unet")
+            targets = pipe.lora_targets("unet", unet_target_replace_module)
+            pipe.unet_lora = lora_lib.monkeypatch_or_replace_lora(
+                unet_path, targets, r=r, dtype=pipe.dtype
+            )
+        if patch_text:
+            print("LoRA : Patching text encoder")
+            targets = pipe.lora_targets("text_encoder", text_target_replace_module)
+            pipe.text_encoder_lora = lora_lib.monkeypatch_or_replace_lora(
+                text_path, targets, r=r, dtype=pipe.dtype
+            )
+        if patch_ti:
+            print("LoRA : Patching token input")
+            pipe.text_params, token = load_learned_embed_in_clip(
+                ti_path, pipe.text_params, pipe.tokenizer,
+                token=token, idempotent=idempotent_token,
+            )
+    elif maybe_unet_path.endswith(".safetensors"):
+        tensors, metadata = lora_lib.safetensors_io.read_safetensors(maybe_unet_path)
+        loras = lora_lib.parse_safeloras(tensors, metadata)
+        for name, (flat, ranks, target) in loras.items():
+            try:
+                targets = pipe.lora_targets(name, set(target))
+            except KeyError:
+                print(f"No model provided for {name}, contained in Lora")
+                continue
+            tree = lora_lib.flat_to_lora_tree(flat, targets, dtype=pipe.dtype)
+            setattr(pipe, f"{name}_lora" if name != "text_encoder" else "text_encoder_lora", tree)
+        tok_dict = lora_lib.parse_safeloras_embeds(tensors, metadata)
+        if tok_dict:
+            pipe.text_params, token = apply_learned_embed_in_clip(
+                tok_dict, pipe.text_params, pipe.tokenizer,
+                token=token, idempotent=idempotent_token,
+            )
+    return pipe
+
+
+def tune_lora_scale_pipe(pipe: StableDiffusionPipeline, alpha: float = 1.0,
+                         which: str = "both") -> None:
+    if which in ("both", "unet") and pipe.unet_lora is not None:
+        pipe.unet_lora = lora_lib.tune_lora_scale(pipe.unet_lora, alpha)
+    if which in ("both", "text") and pipe.text_encoder_lora is not None:
+        pipe.text_encoder_lora = lora_lib.tune_lora_scale(pipe.text_encoder_lora, alpha)

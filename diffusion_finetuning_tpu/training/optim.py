@@ -1,0 +1,213 @@
+"""Optimizers and LR schedules for LoRA/TI training.
+
+Covers the reference's optimizer surface: AdamW with per-group learning
+rates (UNet LoRA / text-encoder LoRA / TI embeddings,
+train_lora_dreambooth.py:659-669, cli_lora_pti.py:700-738), the
+``get_scheduler`` LR schedule names (constant / constant_with_warmup /
+linear / cosine, train_lora_dreambooth.py:737-742), gradient accumulation
+(optax.MultiSteps), global-norm clipping (cli_lora_pti.py:452-457), and an
+int8 optimizer-state mode standing in for bitsandbytes AdamW8bit
+(train_lora_dreambooth.py:641-651) implemented as a block-quantized moment
+store.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def lr_schedule(
+    name: str,
+    learning_rate: float,
+    num_warmup_steps: int = 0,
+    num_training_steps: int = 10000,
+) -> optax.Schedule:
+    """HF diffusers get_scheduler parity for the names the reference uses."""
+    name = name.lower()
+    if name == "constant":
+        return optax.constant_schedule(learning_rate)
+    if name == "constant_with_warmup":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, max(1, num_warmup_steps)),
+                optax.constant_schedule(learning_rate),
+            ],
+            [num_warmup_steps],
+        )
+    if name == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, max(1, num_warmup_steps)),
+                optax.linear_schedule(
+                    learning_rate, 0.0, max(1, num_training_steps - num_warmup_steps)
+                ),
+            ],
+            [num_warmup_steps],
+        )
+    if name == "cosine":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, learning_rate, max(1, num_warmup_steps)),
+                optax.cosine_decay_schedule(
+                    learning_rate, max(1, num_training_steps - num_warmup_steps)
+                ),
+            ],
+            [num_warmup_steps],
+        )
+    raise ValueError(f"unknown lr schedule {name}")
+
+
+@dataclasses.dataclass
+class ParamGroup:
+    """One optimizer parameter group (reference per-group dict entries)."""
+
+    lr: float
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 10000
+    weight_decay: float = 1e-2
+    betas: tuple = (0.9, 0.999)
+    eps: float = 1e-8
+
+    def make(self, use_8bit: bool = False) -> optax.GradientTransformation:
+        sched = lr_schedule(self.schedule, self.lr, self.warmup_steps, self.total_steps)
+        if use_8bit:
+            return adamw8bit(
+                sched, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+                weight_decay=self.weight_decay,
+            )
+        return optax.adamw(
+            sched, b1=self.betas[0], b2=self.betas[1], eps=self.eps,
+            weight_decay=self.weight_decay,
+        )
+
+
+def multi_group_optimizer(
+    groups: Mapping[str, ParamGroup],
+    param_labels: Any,
+    grad_accum_steps: int = 1,
+    max_grad_norm: Optional[float] = None,
+    use_8bit: bool = False,
+) -> optax.GradientTransformation:
+    """Build the reference's multi-LR optimizer as one optax transform.
+
+    ``param_labels``: pytree (or callable) labelling each leaf with a group
+    name.  Mirrors torch param-group dicts (train_lora_dreambooth.py:659-669).
+    """
+    tx = optax.multi_transform(
+        {name: g.make(use_8bit) for name, g in groups.items()}, param_labels
+    )
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(tx)
+    out = optax.chain(*chain)
+    if grad_accum_steps > 1:
+        out = optax.MultiSteps(out, every_k_schedule=grad_accum_steps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 8-bit AdamW (bitsandbytes stand-in): block-quantized int8 moments
+# ---------------------------------------------------------------------------
+
+
+def _quantize_blockwise(x: jnp.ndarray, block: int = 256):
+    flat = x.reshape(-1)
+    pad = (-flat.size) % block
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(blocks / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _dequantize_blockwise(q: jnp.ndarray, scale: jnp.ndarray, shape, size):
+    flat = (q.astype(jnp.float32) * scale).reshape(-1)[:size]
+    return flat.reshape(shape)
+
+
+def adamw8bit(
+    learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2, block=256
+) -> optax.GradientTransformation:
+    """AdamW with int8 block-quantized first/second moments.
+
+    TPU-native equivalent of bitsandbytes AdamW8bit
+    (train_lora_dreambooth.py:641-651): moments are stored as int8 + per-block
+    fp32 scales (~4x state memory reduction), dequantized/requantized inside
+    the (jitted, fused) update.
+    """
+
+    def init(params):
+        def per_leaf(p):
+            q, s = _quantize_blockwise(jnp.zeros_like(p, dtype=jnp.float32), block)
+            return {"m_q": q, "m_s": s, "v_q": q, "v_s": s}
+
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "moments": jax.tree_util.tree_map(per_leaf, params),
+        }
+
+    def update(grads, state, params):
+        count = state["count"] + 1
+        sched_lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def per_leaf(g, st, p):
+            g = g.astype(jnp.float32)
+            m = _dequantize_blockwise(st["m_q"], st["m_s"], g.shape, g.size)
+            v = _dequantize_blockwise(st["v_q"], st["v_s"], g.shape, g.size)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            mhat = m / (1 - b1 ** count.astype(jnp.float32))
+            vhat = v / (1 - b2 ** count.astype(jnp.float32))
+            upd = -sched_lr * (mhat / (jnp.sqrt(vhat) + eps) + weight_decay * p)
+            mq, ms = _quantize_blockwise(m, block)
+            vq, vs = _quantize_blockwise(v, block)
+            return upd.astype(p.dtype), {"m_q": mq, "m_s": ms, "v_q": vq, "v_s": vs}
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_s = treedef.flatten_up_to(state["moments"])
+        flat_p = treedef.flatten_up_to(params)
+        outs = [per_leaf(g, s, p) for g, s, p in zip(flat_g, flat_s, flat_p)]
+        updates = treedef.unflatten([o[0] for o in outs])
+        moments = treedef.unflatten([o[1] for o in outs])
+        return updates, {"count": count, "moments": moments}
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+# TI embedding constraints (reference cli_lora_pti.py:315-346)
+# ---------------------------------------------------------------------------
+
+
+def apply_ti_constraints(
+    embeddings: jnp.ndarray,
+    orig_embeddings: jnp.ndarray,
+    index_updates: jnp.ndarray,   # bool (vocab,) True for placeholder rows
+    lr: float,
+    clip_ti_decay: bool = True,
+    target_norm: float = 0.4,
+) -> jnp.ndarray:
+    """Post-step TI embedding treatment:
+
+    * if ``clip_ti_decay``: renormalize updated rows to
+      ``pre_norm + min(1, 100*lr) * (0.4 - pre_norm)`` (cli_lora_pti.py:318-336)
+    * restore all frozen rows from the pre-training copy
+      (cli_lora_pti.py:344-346)
+    """
+    emb = embeddings
+    if clip_ti_decay:
+        norms = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        lam = jnp.minimum(1.0, 100.0 * lr)
+        safe = jnp.where(norms == 0, 1.0, norms)
+        renormed = emb / safe * (norms + lam * (target_norm - norms))
+        emb = jnp.where(index_updates[:, None], renormed, emb)
+    emb = jnp.where(index_updates[:, None], emb, orig_embeddings)
+    return emb

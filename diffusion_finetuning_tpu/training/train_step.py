@@ -1,0 +1,150 @@
+"""The jitted data-parallel train step.
+
+One compiled function per phase covers what the reference does across
+``loss.backward`` / ``optimizer.step`` / grad clipping / TI post-step
+constraints (cli_lora_pti.py:291-346, 433-489;
+train_lora_dreambooth.py:811-888): compute grads of ``loss_step`` w.r.t. the
+trainable trees, apply the multi-group optimizer, then re-apply TI embedding
+constraints.  Batches arrive sharded over the mesh's ``data`` axis; XLA
+inserts the gradient all-reduce over ICI (the NCCL-DDP replacement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .loss import loss_step
+from .optim import apply_ti_constraints
+
+
+@dataclasses.dataclass
+class TrainablePartition:
+    """What is being optimized in a phase.
+
+    ``unet_lora`` / ``text_lora`` are LoRA trees (or None); ``ti`` True means
+    the text token-embedding matrix trains (with frozen-row restoration).
+    """
+
+    unet_lora: bool = True
+    text_lora: bool = False
+    ti: bool = False
+
+
+def build_train_step(
+    *,
+    unet,
+    text_encoder,
+    vae,
+    scheduler,
+    optimizer: optax.GradientTransformation,
+    partition: TrainablePartition,
+    t_mutliplier: float = 1.0,
+    with_prior_preservation: bool = False,
+    prior_loss_weight: float = 1.0,
+    clip_ti_decay: bool = True,
+    ti_lr_schedule: Optional[Callable] = None,
+) -> Callable:
+    """Returns ``step(state, batch, rng) -> (state, metrics)`` (jittable).
+
+    ``state`` is a dict:
+      params:    {"unet_lora": tree|None, "text_lora": tree|None,
+                  "ti_embeddings": (vocab, dim)|None}
+      static:    {"unet_params", "text_params", "vae_params",
+                  "orig_embeddings", "index_updates"}
+      opt_state: optax state
+      step:      int32
+    """
+
+    def trainable_loss(train_params, static, batch, rng):
+        text_params = static["text_params"]
+        if partition.ti:
+            text_params = {
+                **text_params,
+                "token_embedding": {"embedding": train_params["ti_embeddings"]},
+            }
+        loss = loss_step(
+            rng,
+            batch,
+            unet=unet,
+            unet_params=static["unet_params"],
+            text_encoder=text_encoder,
+            text_params=text_params,
+            vae=vae,
+            vae_params=static["vae_params"],
+            scheduler=scheduler,
+            unet_lora=train_params.get("unet_lora"),
+            text_lora=train_params.get("text_lora"),
+            t_mutliplier=t_mutliplier,
+            with_prior_preservation=with_prior_preservation,
+            prior_loss_weight=prior_loss_weight,
+        )
+        return loss
+
+    def step(state, batch, rng):
+        train_params = state["params"]
+        static = state["static"]
+        loss, grads = jax.value_and_grad(trainable_loss)(
+            train_params, static, batch, rng
+        )
+        if partition.ti:
+            # frozen vocab rows receive zero gradient (masked-update TI:
+            # functional form of the reference's post-step row restoration)
+            mask = static["index_updates"][:, None]
+            grads = {
+                **grads,
+                "ti_embeddings": jnp.where(mask, grads["ti_embeddings"], 0.0),
+            }
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], train_params
+        )
+        train_params = optax.apply_updates(train_params, updates)
+
+        if partition.ti:
+            lr = (
+                ti_lr_schedule(state["step"])
+                if ti_lr_schedule is not None
+                else 0.0
+            )
+            emb = apply_ti_constraints(
+                train_params["ti_embeddings"],
+                static["orig_embeddings"],
+                static["index_updates"],
+                lr,
+                clip_ti_decay=clip_ti_decay,
+            )
+            train_params = {**train_params, "ti_embeddings": emb}
+
+        new_state = {
+            **state,
+            "params": train_params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False):
+    # donate=True invalidates the caller's `state` buffers — including the
+    # frozen model params carried in state["static"], which pipelines may
+    # still reference.  LoRA/TI state is tiny, so donation is off by default.
+    """jit with replicated-state / data-sharded-batch shardings."""
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -1,0 +1,81 @@
+"""Flash attention kernel numerics (interpret mode on CPU) vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_finetuning_tpu.ops.attention import xla_attention
+from diffusion_finetuning_tpu.ops.flash_attention import flash_attention
+
+
+def _mk(b, sq, skv, heads, d, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, sq, heads * d), dtype)
+    k = jax.random.normal(ks[1], (b, skv, heads * d), dtype)
+    v = jax.random.normal(ks[2], (b, skv, heads * d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize(
+    "sq,skv,heads,d",
+    [
+        (256, 256, 2, 40),    # SD self-attn head dim, blocked
+        (512, 512, 2, 64),
+        (128, 77, 2, 40),     # cross-attention with ragged kv
+        (64, 64, 1, 160),
+        (300, 300, 2, 32),    # non-multiple q length
+    ],
+)
+def test_forward_matches_xla(sq, skv, heads, d):
+    q, k, v = _mk(1, sq, skv, heads, d)
+    ref = xla_attention(q, k, v, heads)
+    out = flash_attention(q, k, v, heads, interpret=True,
+                          block_q=128, block_kv=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_backward_matches_xla():
+    q, k, v = _mk(1, 256, 256, 2, 40)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 2, interpret=True,
+                                       block_q=128, block_kv=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, 2) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_backward_cross_attention_ragged():
+    q, k, v = _mk(1, 128, 77, 2, 40, seed=3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 2, interpret=True,
+                                       block_q=64, block_kv=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, 2) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_bf16_forward_close():
+    q, k, v = _mk(2, 256, 256, 2, 64, dtype=jnp.bfloat16)
+    ref = xla_attention(q, k, v, 2).astype(jnp.float32)
+    out = flash_attention(q, k, v, 2, interpret=True,
+                          block_q=128, block_kv=128).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
