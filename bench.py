@@ -1,0 +1,80 @@
+"""Benchmark: SD 1.5 512^2 50-step LoRA txt2img seconds/image on one chip.
+
+North star (BASELINE.json): <= 2 s per image per TPU v5e chip.
+``vs_baseline`` = 2.0 / measured (>1 means beating the target).
+
+Uses randomly initialized SD 1.5-shape weights (no checkpoint download in
+this environment) — latency depends only on shapes, not weight values.
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_pipe():
+    from diffusion_finetuning_tpu import lora as lora_lib
+    from diffusion_finetuning_tpu.data.tokenizer import CLIPTokenizer
+    from diffusion_finetuning_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from diffusion_finetuning_tpu.models.schedulers import SchedulerConfig
+    from diffusion_finetuning_tpu.models.unet import UNetConfig, UNet2DConditionModel
+    from diffusion_finetuning_tpu.models.vae import VAEConfig, AutoencoderKL
+    from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
+
+    dtype = jnp.bfloat16
+    ucfg, vcfg, tcfg = UNetConfig.sd15(), VAEConfig.sd15(), CLIPTextConfig.sd15()
+    rng = jax.random.PRNGKey(0)
+
+    unet_params = UNet2DConditionModel(ucfg, dtype=dtype).init(
+        rng, jnp.zeros((1, 64, 64, 4), dtype), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim), dtype),
+    )["params"]
+    vae_params = AutoencoderKL(vcfg, dtype=dtype).init(
+        rng, jnp.zeros((1, 128, 128, 3), dtype), rng
+    )["params"]
+    text_params = CLIPTextModel(tcfg, dtype=dtype).init(
+        rng, jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+
+    tokenizer = CLIPTokenizer.tiny(["photo", "of", "sks", "person"])
+    pipe = StableDiffusionPipeline(
+        ucfg, unet_params, vcfg, vae_params, tcfg, text_params,
+        tokenizer, SchedulerConfig(), dtype=dtype,
+    )
+    # rank-4 LoRA on the default UNet targets — the benchmark is the *LoRA*
+    # txt2img path (BASELINE.json configs[0]).
+    targets = pipe.lora_targets("unet", lora_lib.DEFAULT_TARGET_REPLACE)
+    pipe.unet_lora = lora_lib.inject_trainable_lora(
+        targets, jax.random.PRNGKey(1), r=4, dtype=dtype
+    )
+    return pipe
+
+
+def main():
+    pipe = build_pipe()
+    prompt = "a photo of sks person"
+    kwargs = dict(num_inference_steps=50, height=512, width=512, output_type="np")
+
+    pipe(prompt, **kwargs)  # warmup: compile
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        img = pipe(prompt, seed=i, **kwargs)
+    jax.block_until_ready(img)
+    per_image = (time.perf_counter() - t0) / n
+
+    print(json.dumps({
+        "metric": "sd15_512_50step_lora_txt2img",
+        "value": round(per_image, 4),
+        "unit": "s/image",
+        "vs_baseline": round(2.0 / per_image, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
