@@ -73,9 +73,17 @@ class ParamGroup:
     weight_decay: float = 1e-2
     betas: tuple = (0.9, 0.999)
     eps: float = 1e-8
+    # The reference steps its LR scheduler once per *batch* even under
+    # gradient accumulation (cli_lora_pti.py:296); with optax.MultiSteps the
+    # inner optimizer only sees one count per accumulated update, so the
+    # schedule is evaluated at ``count * step_multiplier`` to keep the same
+    # per-batch LR trajectory.
+    step_multiplier: int = 1
 
     def make(self, use_8bit: bool = False) -> optax.GradientTransformation:
-        sched = lr_schedule(self.schedule, self.lr, self.warmup_steps, self.total_steps)
+        base = lr_schedule(self.schedule, self.lr, self.warmup_steps, self.total_steps)
+        mult = self.step_multiplier
+        sched = base if mult == 1 else (lambda count: base(count * mult))
         if use_8bit:
             return adamw8bit(
                 sched, b1=self.betas[0], b2=self.betas[1], eps=self.eps,

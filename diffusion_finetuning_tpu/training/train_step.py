@@ -28,12 +28,17 @@ class TrainablePartition:
     """What is being optimized in a phase.
 
     ``unet_lora`` / ``text_lora`` are LoRA trees (or None); ``ti`` True means
-    the text token-embedding matrix trains (with frozen-row restoration).
+    the text token-embedding matrix trains.  ``ti_constrained`` applies the
+    inversion-phase treatment (frozen-row masking + norm decay,
+    cli_lora_pti.py:315-346); the tuning phase with ``continue_inversion``
+    trains the matrix unconstrained (cli_lora_pti.py:706-723 has no
+    post-step restore), so it sets ``ti_constrained=False``.
     """
 
     unet_lora: bool = True
     text_lora: bool = False
     ti: bool = False
+    ti_constrained: bool = True
 
 
 def build_train_step(
@@ -49,6 +54,7 @@ def build_train_step(
     prior_loss_weight: float = 1.0,
     clip_ti_decay: bool = True,
     ti_lr_schedule: Optional[Callable] = None,
+    grad_accum_steps: int = 1,
 ) -> Callable:
     """Returns ``step(state, batch, rng) -> (state, metrics)`` (jittable).
 
@@ -92,7 +98,7 @@ def build_train_step(
         loss, grads = jax.value_and_grad(trainable_loss)(
             train_params, static, batch, rng
         )
-        if partition.ti:
+        if partition.ti and partition.ti_constrained:
             # frozen vocab rows receive zero gradient (masked-update TI:
             # functional form of the reference's post-step row restoration)
             mask = static["index_updates"][:, None]
@@ -105,7 +111,7 @@ def build_train_step(
         )
         train_params = optax.apply_updates(train_params, updates)
 
-        if partition.ti:
+        if partition.ti and partition.ti_constrained:
             lr = (
                 ti_lr_schedule(state["step"])
                 if ti_lr_schedule is not None
@@ -118,6 +124,12 @@ def build_train_step(
                 lr,
                 clip_ti_decay=clip_ti_decay,
             )
+            # the reference renorms/restores only when the optimizer actually
+            # stepped, i.e. on gradient-accumulation boundaries
+            # (cli_lora_pti.py:311-346)
+            if grad_accum_steps > 1:
+                boundary = (state["step"] + 1) % grad_accum_steps == 0
+                emb = jnp.where(boundary, emb, train_params["ti_embeddings"])
             train_params = {**train_params, "ti_embeddings": emb}
 
         new_state = {
