@@ -1,0 +1,117 @@
+"""Smoke test: DreamBooth trainer end-to-end on tiny CPU models."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "training_scripts"))
+
+from diffusion_finetuning_tpu import lora as L
+from diffusion_finetuning_tpu.io import safetensors_io, torch_pickle
+
+
+def test_dreambooth_end_to_end(tmp_path):
+    import train_lora_dreambooth as db
+    from tests.test_cli_tools import _tiny_pipe, _write_tokenizer
+    from diffusion_finetuning_tpu.models import hf_export
+    from PIL import Image
+
+    pipe = _tiny_pipe()
+    model_dir = str(tmp_path / "model")
+    hf_export.save_pretrained(pipe, model_dir)
+    _write_tokenizer(pipe.tokenizer, os.path.join(model_dir, "tokenizer"))
+
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(
+            inst / f"img{i}.png"
+        )
+
+    out = str(tmp_path / "out")
+    args = db.parse_args([
+        "--pretrained_model_name_or_path", model_dir,
+        "--instance_data_dir", str(inst),
+        "--instance_prompt", "a photo of sks",
+        "--output_dir", out,
+        "--resolution", "16",
+        "--train_batch_size", "2",
+        "--max_train_steps", "3",
+        "--save_steps", "2",
+        "--lora_rank", "2",
+        "--train_text_encoder",
+        "--learning_rate", "1e-3",
+        "--learning_rate_text", "1e-4",
+        "--output_format", "both",
+        "--seed", "5",
+    ])
+    state = db.main(args)
+
+    # final pt + sidecar + safetensors all written
+    flat = torch_pickle.load(os.path.join(out, "lora_weight.pt"))
+    assert len(flat) == 2 * len(pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE))
+    assert np.asarray(flat[0]).dtype == np.float16
+    assert os.path.exists(os.path.join(out, "lora_weight.text_encoder.pt"))
+    tensors, metadata = safetensors_io.read_safetensors(
+        os.path.join(out, "lora_weight.safetensors")
+    )
+    loras = L.parse_safeloras(tensors, metadata)
+    assert set(loras) == {"unet", "text_encoder"}
+
+    # periodic save happened
+    periodic = [f for f in os.listdir(out) if f.startswith("lora_weight_e")]
+    assert periodic
+
+    # LoRA moved
+    moved = [v for vals in L.inspect_lora(state["params"]["unet_lora"]).values()
+             for v in vals]
+    assert max(moved) > 0
+
+
+def test_dreambooth_resume(tmp_path):
+    """--resume_unet warm-starts from a saved flat list."""
+    import train_lora_dreambooth as db
+    from tests.test_cli_tools import _tiny_pipe, _write_tokenizer, _random_flat
+    from diffusion_finetuning_tpu.models import hf_export
+    from PIL import Image
+
+    pipe = _tiny_pipe()
+    model_dir = str(tmp_path / "model")
+    hf_export.save_pretrained(pipe, model_dir)
+    _write_tokenizer(pipe.tokenizer, os.path.join(model_dir, "tokenizer"))
+    targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    flat = _random_flat(targets, 2, np.random.default_rng(1))
+    resume = str(tmp_path / "resume.pt")
+    torch_pickle.save(flat, resume)
+
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(inst / "a.png")
+
+    out = str(tmp_path / "out")
+    args = db.parse_args([
+        "--pretrained_model_name_or_path", model_dir,
+        "--instance_data_dir", str(inst),
+        "--instance_prompt", "sks",
+        "--output_dir", out,
+        "--resolution", "16",
+        "--train_batch_size", "1",
+        "--max_train_steps", "1",
+        "--save_steps", "0",
+        "--lora_rank", "2",
+        "--learning_rate", "0",
+        "--adam_weight_decay", "0",
+        "--resume_unet", resume,
+        "--output_format", "pt",
+        "--seed", "6",
+    ])
+    db.main(args)
+    # lr=0, wd=0: saved weights == resume weights (fp16 round-trip)
+    flat_out = torch_pickle.load(os.path.join(out, "lora_weight.pt"))
+    for a, b in zip(flat, flat_out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-3
+        )

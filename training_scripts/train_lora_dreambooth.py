@@ -1,0 +1,354 @@
+"""DreamBooth-with-LoRA trainer (TPU-native).
+
+Re-implements the reference ``training_scripts/train_lora_dreambooth.py``
+(argparse surface 168-483, main 486-1003) on the JAX training core:
+
+* prior-preservation class-image synthesis with sha1 filenames, generating
+  only the shortfall (reference 512-558);
+* rank-r LoRA injection into the UNet (+ optional text encoder) with
+  ``--resume_unet`` / ``--resume_text_encoder`` warm starts (595-621);
+* AdamW with separate text-encoder LR, optional int8 optimizer state
+  (the bitsandbytes stand-in), LR schedules, ``--scale_lr``, grad
+  accumulation, global-norm clipping (632-676, 737-742);
+* DDPM noise training loop with optional prior-preservation chunked loss
+  (811-888) — ONE jitted train step over the data-parallel mesh (the
+  Accelerate/NCCL DDP replacement; gradient all-reduce is emitted by XLA);
+* periodic ``lora_weight_e{epoch}_s{step}.pt`` saves and final
+  ``pt``/``safe``/``both`` output (889-994).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_finetuning_tpu import lora as lora_lib
+from diffusion_finetuning_tpu.data.dataset import DataLoader, DreamBoothDataset, PromptDataset
+from diffusion_finetuning_tpu.models.clip_text import text_encoder_lora_targets
+from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler
+from diffusion_finetuning_tpu.models.unet import unet_lora_targets
+from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
+from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
+from diffusion_finetuning_tpu.training.train_step import (
+    TrainablePartition,
+    build_train_step,
+    jit_train_step,
+)
+
+
+def parse_args(input_args=None):
+    parser = argparse.ArgumentParser(description="DreamBooth LoRA training (TPU).")
+    a = parser.add_argument
+    a("--pretrained_model_name_or_path", type=str, default=None, required=True)
+    a("--pretrained_vae_name_or_path", type=str, default=None)
+    a("--revision", type=str, default=None)
+    a("--tokenizer_name", type=str, default=None)
+    a("--instance_data_dir", type=str, default=None, required=True)
+    a("--class_data_dir", type=str, default=None)
+    a("--instance_prompt", type=str, default=None, required=True)
+    a("--class_prompt", type=str, default=None)
+    a("--with_prior_preservation", default=False, action="store_true")
+    a("--prior_loss_weight", type=float, default=1.0)
+    a("--num_class_images", type=int, default=100)
+    a("--output_dir", type=str, default="text-inversion-model")
+    a("--output_format", type=str, choices=["pt", "safe", "both"], default="both")
+    a("--seed", type=int, default=None)
+    a("--resolution", type=int, default=512)
+    a("--center_crop", action="store_true")
+    a("--color_jitter", action="store_true")
+    a("--train_text_encoder", action="store_true")
+    a("--train_batch_size", type=int, default=4)
+    a("--sample_batch_size", type=int, default=4)
+    a("--num_train_epochs", type=int, default=1)
+    a("--max_train_steps", type=int, default=None)
+    a("--save_steps", type=int, default=500)
+    a("--gradient_accumulation_steps", type=int, default=1)
+    a("--gradient_checkpointing", action="store_true")
+    a("--lora_rank", type=int, default=4)
+    a("--learning_rate", type=float, default=5e-6)
+    a("--learning_rate_text", type=float, default=5e-6)
+    a("--scale_lr", action="store_true")
+    a("--lr_scheduler", type=str, default="constant")
+    a("--lr_warmup_steps", type=int, default=500)
+    a("--use_8bit_adam", action="store_true")
+    a("--adam_beta1", type=float, default=0.9)
+    a("--adam_beta2", type=float, default=0.999)
+    a("--adam_weight_decay", type=float, default=1e-2)
+    a("--adam_epsilon", type=float, default=1e-08)
+    a("--max_grad_norm", default=1.0, type=float)
+    a("--push_to_hub", action="store_true")
+    a("--hub_token", type=str, default=None)
+    a("--logging_dir", type=str, default="logs")
+    a("--mixed_precision", type=str, default=None, choices=["no", "fp16", "bf16"])
+    a("--local_rank", type=int, default=-1)
+    a("--resume_unet", type=str, default=None)
+    a("--resume_text_encoder", type=str, default=None)
+    a("--resize", type=bool, default=True, required=False)
+    a("--use_xformers", action="store_true",
+      help="(TPU: flash attention is on by default; kept for CLI parity)")
+
+    args = parser.parse_args(input_args)
+    env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
+    if env_local_rank not in (-1, args.local_rank):
+        args.local_rank = env_local_rank
+
+    if args.with_prior_preservation:
+        if args.class_data_dir is None:
+            raise ValueError("You must specify a data directory for class images.")
+        if args.class_prompt is None:
+            raise ValueError("You must specify prompt for class images.")
+    else:
+        if args.class_data_dir is not None:
+            print("You need not use --class_data_dir without --with_prior_preservation.")
+        if args.class_prompt is not None:
+            print("You need not use --class_prompt without --with_prior_preservation.")
+    return args
+
+
+def synthesize_class_images(args, pipe: StableDiffusionPipeline):
+    """Generate the shortfall of prior-preservation class images
+    (reference train_lora_dreambooth.py:512-558)."""
+    from pathlib import Path
+
+    class_images_dir = Path(args.class_data_dir)
+    class_images_dir.mkdir(parents=True, exist_ok=True)
+    cur_class_images = len(list(class_images_dir.iterdir()))
+    if cur_class_images >= args.num_class_images:
+        return
+    num_new_images = args.num_class_images - cur_class_images
+    print(f"Number of class images to sample: {num_new_images}.")
+    sample_dataset = PromptDataset(args.class_prompt, num_new_images)
+    bs = args.sample_batch_size
+    for i in range(0, len(sample_dataset), bs):
+        prompts = [sample_dataset[j]["prompt"]
+                   for j in range(i, min(i + bs, len(sample_dataset)))]
+        images = pipe(prompts, num_inference_steps=50,
+                      height=args.resolution, width=args.resolution, seed=i)
+        for j, image in enumerate(images):
+            h = hashlib.sha1(image.tobytes()).hexdigest()
+            image.save(class_images_dir / f"{cur_class_images + i + j}-{h}.jpg")
+
+
+def main(args):
+    if args.seed is not None:
+        np.random.seed(args.seed)
+    rng = jax.random.PRNGKey(args.seed or 0)
+
+    dtype = jnp.bfloat16 if args.mixed_precision in ("fp16", "bf16") else jnp.float32
+    pipe = StableDiffusionPipeline.from_pretrained(
+        args.pretrained_model_name_or_path, dtype=dtype
+    )
+
+    if args.with_prior_preservation:
+        synthesize_class_images(args, pipe)
+
+    if args.gradient_checkpointing:
+        import dataclasses as _dc
+
+        from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel
+
+        pipe.unet_config = _dc.replace(pipe.unet_config, gradient_checkpointing=True)
+        pipe.unet = UNet2DConditionModel(pipe.unet_config, dtype=pipe.dtype)
+
+    unet_targets = lora_lib.filter_targets(
+        unet_lora_targets(pipe.unet_config), lora_lib.DEFAULT_TARGET_REPLACE
+    )
+    text_targets = lora_lib.filter_targets(
+        text_encoder_lora_targets(pipe.text_config),
+        lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    )
+    rng, k1, k2 = jax.random.split(rng, 3)
+    unet_lora = lora_lib.inject_trainable_lora(
+        unet_targets, k1, r=args.lora_rank, loras=args.resume_unet
+    )
+    print("Before training: Unet First Layer lora up",
+          np.asarray(lora_lib.extract_lora_ups_down(unet_lora, unet_targets)[0][0]))
+    text_lora = None
+    if args.train_text_encoder:
+        text_lora = lora_lib.inject_trainable_lora(
+            text_targets, k2, r=args.lora_rank, loras=args.resume_text_encoder
+        )
+        print("Before training: text encoder First Layer lora up",
+              np.asarray(lora_lib.extract_lora_ups_down(text_lora, text_targets)[0][0]))
+
+    scheduler = DDPMScheduler(pipe.scheduler_config)
+
+    train_dataset = DreamBoothDataset(
+        instance_data_root=args.instance_data_dir,
+        instance_prompt=args.instance_prompt,
+        class_data_root=args.class_data_dir if args.with_prior_preservation else None,
+        class_prompt=args.class_prompt,
+        tokenizer=pipe.tokenizer,
+        size=args.resolution,
+        center_crop=args.center_crop,
+        color_jitter=args.color_jitter,
+        resize=args.resize,
+        seed=args.seed,
+    )
+    pad_id = pipe.tokenizer.encoder[pipe.tokenizer.pad_token]
+    loader = DataLoader(train_dataset, args.train_batch_size, pad_id,
+                        seed=args.seed or 0)
+
+    steps_per_epoch = math.ceil(len(loader) / args.gradient_accumulation_steps)
+    if args.max_train_steps is None:
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+    num_train_epochs = math.ceil(args.max_train_steps / steps_per_epoch)
+
+    if args.scale_lr:
+        lr = (args.learning_rate * args.gradient_accumulation_steps
+              * args.train_batch_size * jax.process_count())
+        lr_text = (args.learning_rate_text * args.gradient_accumulation_steps
+                   * args.train_batch_size * jax.process_count())
+    else:
+        lr, lr_text = args.learning_rate, args.learning_rate_text
+
+    groups = {
+        "unet_lora": ParamGroup(
+            lr=lr, schedule=args.lr_scheduler, warmup_steps=args.lr_warmup_steps,
+            total_steps=args.max_train_steps, weight_decay=args.adam_weight_decay,
+            betas=(args.adam_beta1, args.adam_beta2), eps=args.adam_epsilon,
+            step_multiplier=args.gradient_accumulation_steps,
+        )
+    }
+    if args.train_text_encoder:
+        groups["text_lora"] = ParamGroup(
+            lr=lr_text, schedule=args.lr_scheduler, warmup_steps=args.lr_warmup_steps,
+            total_steps=args.max_train_steps, weight_decay=args.adam_weight_decay,
+            betas=(args.adam_beta1, args.adam_beta2), eps=args.adam_epsilon,
+            step_multiplier=args.gradient_accumulation_steps,
+        )
+
+    def label_fn(tree):
+        return {k: jax.tree_util.tree_map(lambda _: k, tree[k]) for k in tree}
+
+    optimizer = multi_group_optimizer(
+        groups, label_fn, grad_accum_steps=args.gradient_accumulation_steps,
+        max_grad_norm=args.max_grad_norm, use_8bit=args.use_8bit_adam,
+    )
+
+    partition = TrainablePartition(
+        unet_lora=True, text_lora=args.train_text_encoder, ti=False
+    )
+    step_fn = build_train_step(
+        unet=pipe.unet, text_encoder=pipe.text_encoder, vae=pipe.vae,
+        scheduler=scheduler, optimizer=optimizer, partition=partition,
+        with_prior_preservation=args.with_prior_preservation,
+        prior_loss_weight=args.prior_loss_weight,
+    )
+
+    devices = jax.devices()
+    eff_batch = args.train_batch_size * (2 if args.with_prior_preservation else 1)
+    n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
+    mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
+    jitted = jit_train_step(step_fn, mesh=mesh)
+
+    params = {"unet_lora": unet_lora}
+    if args.train_text_encoder:
+        params["text_lora"] = text_lora
+    state = {
+        "params": params,
+        "static": {
+            "unet_params": pipe.unet_params,
+            "text_params": pipe.text_params,
+            "vae_params": pipe.vae_params,
+            "orig_embeddings": pipe.text_params["token_embedding"]["embedding"],
+            "index_updates": jnp.zeros(
+                (pipe.text_params["token_embedding"]["embedding"].shape[0],), bool
+            ),
+        },
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+
+    total_batch = (args.train_batch_size * jax.process_count()
+                   * args.gradient_accumulation_steps)
+    print("***** Running training *****")
+    print(f"  Num examples = {len(train_dataset)}")
+    print(f"  Num Epochs = {num_train_epochs}")
+    print(f"  Instantaneous batch size per device = {args.train_batch_size}")
+    print(f"  Total train batch size (w. parallel, distributed & accumulation) = {total_batch}")
+    print(f"  Gradient Accumulation steps = {args.gradient_accumulation_steps}")
+    print(f"  Total optimization steps = {args.max_train_steps}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    global_step = 0
+    last_save = 0
+
+    def save_periodic(state_host, epoch, step):
+        filename_unet = f"{args.output_dir}/lora_weight_e{epoch}_s{step}.pt"
+        print(f"save weights {filename_unet}")
+        lora_lib.save_lora_weight(
+            state_host["params"]["unet_lora"], unet_targets, filename_unet
+        )
+        if args.train_text_encoder:
+            lora_lib.save_lora_weight(
+                state_host["params"]["text_lora"], text_targets,
+                f"{args.output_dir}/lora_weight_e{epoch}_s{step}.text_encoder.pt",
+            )
+
+    done = False
+    for epoch in range(num_train_epochs):
+        if done:
+            break
+        for batch in loader:
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            rng, key = jax.random.split(rng)
+            state, metrics = jitted(state, batch, key)
+            global_step += 1
+            if global_step % 50 == 0 or global_step == args.max_train_steps:
+                print(f"step {global_step}/{args.max_train_steps} "
+                      f"loss={float(metrics['loss']):.4f}")
+            if (args.save_steps and global_step - last_save >= args.save_steps
+                    and mesh_lib.is_main_process()):
+                save_periodic(jax.device_get(state), epoch, global_step)
+                last_save = global_step
+            if global_step >= args.max_train_steps:
+                done = True
+                break
+
+    mesh_lib.barrier("end of training")
+    state = jax.device_get(state)
+    print("\n\nLora TRAINING DONE!\n\n")
+
+    if mesh_lib.is_main_process():
+        if args.output_format in ("pt", "both"):
+            lora_lib.save_lora_weight(
+                state["params"]["unet_lora"], unet_targets,
+                args.output_dir + "/lora_weight.pt",
+            )
+            if args.train_text_encoder:
+                lora_lib.save_lora_weight(
+                    state["params"]["text_lora"], text_targets,
+                    args.output_dir + "/lora_weight.text_encoder.pt",
+                )
+        if args.output_format in ("safe", "both"):
+            modelmap = {
+                "unet": (state["params"]["unet_lora"], unet_targets,
+                         lora_lib.UNET_DEFAULT_TARGET_REPLACE)
+            }
+            if args.train_text_encoder:
+                modelmap["text_encoder"] = (
+                    state["params"]["text_lora"], text_targets,
+                    lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+                )
+            lora_lib.save_safeloras(
+                modelmap, args.output_dir + "/lora_weight.safetensors"
+            )
+    return state
+
+
+if __name__ == "__main__":
+    main(parse_args())
