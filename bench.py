@@ -16,6 +16,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first-compile of the full pipeline over the
+# TPU tunnel is slow; cached executables make repeat bench runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_pipe():
     from diffusion_finetuning_tpu import lora as lora_lib

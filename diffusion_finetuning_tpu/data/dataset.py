@@ -363,6 +363,114 @@ class DreamBoothDataset:
         return example
 
 
+def _randomset(lis, rng: random.Random):
+    return [x for x in lis if rng.random() < 0.5]
+
+
+def _shuffle(lis, rng: random.Random):
+    return rng.sample(lis, len(lis))
+
+
+class DreamBoothTiDataset:
+    """Joint TI+LoRA dataset (reference train_lora_w_ti.py:118-283):
+    caption = random imagenet template formatted with
+    ``", ".join([placeholder] + shuffled random subset of stochastic
+    attributes)`` (train_lora_w_ti.py:222-227); the template lists are the
+    standard textual-inversion object/style sets (identical to
+    OBJECT_TEMPLATE / STYLE_TEMPLATE)."""
+
+    def __init__(
+        self,
+        instance_data_root: str,
+        learnable_property: str,
+        placeholder_token: str,
+        stochastic_attribute: Optional[str],
+        tokenizer,
+        class_data_root: Optional[str] = None,
+        class_prompt: Optional[str] = None,
+        size: int = 512,
+        center_crop: bool = False,
+        color_jitter: bool = False,
+        resize: bool = False,
+        h_flip: bool = True,
+        seed: Optional[int] = None,
+    ):
+        self.size = size
+        self.center_crop = center_crop
+        self.tokenizer = tokenizer
+        self.resize = resize
+        root = Path(instance_data_root)
+        if not root.exists():
+            raise ValueError("Instance images root doesn't exists.")
+        self.instance_images_path = _image_paths(root)
+        self.num_instance_images = len(self.instance_images_path)
+        self.placeholder_token = placeholder_token
+        self.stochastic_attribute = (
+            stochastic_attribute.split(",") if stochastic_attribute else []
+        )
+        self.templates = (
+            STYLE_TEMPLATE if learnable_property == "style" else OBJECT_TEMPLATE
+        )
+        self._length = self.num_instance_images
+        if class_data_root is not None:
+            Path(class_data_root).mkdir(parents=True, exist_ok=True)
+            self.class_images_path = _image_paths(class_data_root)
+            self.num_class_images = len(self.class_images_path)
+            self._length = max(self.num_class_images, self.num_instance_images)
+            self.class_prompt = class_prompt
+            self.class_data_root = class_data_root
+        else:
+            self.class_data_root = None
+        self.color_jitter = color_jitter
+        self.h_flip = h_flip
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return self._length
+
+    def _load_image(self, path: Path) -> np.ndarray:
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if self.resize:
+            img = resize_short_side(img, self.size)
+        # square static shapes for XLA: always end with a center crop
+        img = center_crop(img, self.size)
+        if self.color_jitter:
+            img = color_jitter(img, 0.2, 0.1, self.rng)
+        arr = to_normalized_array(img)
+        if self.h_flip and self.rng.random() > 0.5:
+            arr = arr[:, ::-1].copy()
+        return arr
+
+    def _tokenize(self, text: str):
+        return self.tokenizer(
+            text,
+            padding="do_not_pad",
+            truncation=True,
+            max_length=self.tokenizer.model_max_length,
+        )["input_ids"]
+
+    def __getitem__(self, index: int) -> Dict:
+        example: Dict = {}
+        example["instance_images"] = self._load_image(
+            self.instance_images_path[index % self.num_instance_images]
+        )
+        text = self.rng.choice(self.templates).format(
+            ", ".join(
+                [self.placeholder_token]
+                + _shuffle(_randomset(self.stochastic_attribute, self.rng), self.rng)
+            )
+        )
+        example["instance_prompt_ids"] = self._tokenize(text)
+        if self.class_data_root:
+            example["class_images"] = self._load_image(
+                self.class_images_path[index % self.num_class_images]
+            )
+            example["class_prompt_ids"] = self._tokenize(self.class_prompt)
+        return example
+
+
 class PromptDataset:
     """Prompt+index pairs for class-image synthesis
     (train_lora_dreambooth.py:148-162)."""

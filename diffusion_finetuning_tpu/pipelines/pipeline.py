@@ -177,15 +177,30 @@ class StableDiffusionPipeline:
         )
 
     # -- text encoding ------------------------------------------------------
+    @functools.lru_cache(maxsize=4)
+    def _encode_fn(self, with_lora: bool):
+        # jitted: unjitted op-by-op dispatch is the dominant latency on a
+        # remote TPU (each op is an RPC); params/lora are runtime args so
+        # TI row edits and LoRA swaps never recompile
+        text_encoder = self.text_encoder
+
+        if with_lora:
+            def run(params, lora, ids):
+                return text_encoder.apply({"params": params, "lora": lora}, ids)
+        else:
+            def run(params, lora, ids):
+                del lora
+                return text_encoder.apply({"params": params}, ids)
+
+        return jax.jit(run)
+
     def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
         ids = self.tokenizer(
             list(prompts), padding="max_length", truncation=True,
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )["input_ids"]
-        variables = {"params": self.text_params}
-        if self.text_encoder_lora is not None:
-            variables["lora"] = self.text_encoder_lora
-        return self.text_encoder.apply(variables, jnp.asarray(ids))
+        fn = self._encode_fn(self.text_encoder_lora is not None)
+        return fn(self.text_params, self.text_encoder_lora, jnp.asarray(ids))
 
     # -- compiled denoise loop ---------------------------------------------
     @functools.lru_cache(maxsize=8)
@@ -306,10 +321,14 @@ class StableDiffusionPipeline:
 
         rng = jax.random.PRNGKey(seed)
         r_enc, r_noise, r_lat = jax.random.split(rng, 3)
-        post = self.vae.apply(
-            {"params": self.vae_params}, x.astype(self.dtype), method=self.vae.encode
-        )
-        latents0 = post.sample(r_enc) * SCALING_FACTOR
+        vae = self.vae
+
+        @jax.jit
+        def enc(params, x, key):
+            post = vae.apply({"params": params}, x, method=vae.encode)
+            return post.sample(key) * SCALING_FACTOR
+
+        latents0 = enc(self.vae_params, x.astype(self.dtype), r_enc)
 
         sch = DDIMScheduler(self.scheduler_config)
         ts = np.asarray(sch.timesteps(num_inference_steps))

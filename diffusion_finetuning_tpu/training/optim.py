@@ -79,11 +79,22 @@ class ParamGroup:
     # schedule is evaluated at ``count * step_multiplier`` to keep the same
     # per-batch LR trajectory.
     step_multiplier: int = 1
+    # multiplied pointwise onto the schedule — used for the staged
+    # TI-then-LoRA gating of train_lora_w_ti.py:988-994 (group LRs forced to
+    # 0 before/after ``unfreeze_lora_step``)
+    lr_gate: Optional[Any] = None  # Callable[[count], float 0/1]
 
     def make(self, use_8bit: bool = False) -> optax.GradientTransformation:
         base = lr_schedule(self.schedule, self.lr, self.warmup_steps, self.total_steps)
         mult = self.step_multiplier
-        sched = base if mult == 1 else (lambda count: base(count * mult))
+        gate = self.lr_gate
+
+        def sched(count):
+            c = count * mult
+            lr = base(c)
+            if gate is not None:
+                lr = lr * gate(c)
+            return lr
         if use_8bit:
             return adamw8bit(
                 sched, b1=self.betas[0], b2=self.betas[1], eps=self.eps,

@@ -1,0 +1,322 @@
+"""Joint LoRA + Textual-Inversion trainer with a staged schedule.
+
+Re-implements the reference ``training_scripts/train_lora_w_ti.py``
+(parse_args 285-626, main 639-1209): one training loop with three parameter
+groups (UNet LoRA, text-encoder LoRA, TI embeddings) where
+
+* steps < ``--unfreeze_lora_step``: LoRA group LRs are forced to 0 (TI-only
+  warmup); after: LoRA LRs on, TI LR 0 (train_lora_w_ti.py:988-994);
+* after every step, all non-placeholder embedding rows are restored from a
+  pre-training clone (train_lora_w_ti.py:1070-1075);
+* captions come from the imagenet templates with the
+  ``--stochastic_attribute`` random-subset augmentation
+  (train_lora_w_ti.py:222-227);
+* ``--just_ti`` trains only the embeddings (842-848);
+* saves ``lora_weight_e{epoch}_s{step}.pt`` + ``.text_encoder.pt`` +
+  ``.ti.pt`` and the final ``pt``/``safe``/``both`` with the TI embed in the
+  safetensors (1144-1202).
+
+TPU design: the staged LR switching is expressed as step-dependent schedule
+gates inside ONE jitted train step — no recompile at the stage boundary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_finetuning_tpu import lora as lora_lib
+from diffusion_finetuning_tpu.data.dataset import DataLoader, DreamBoothTiDataset
+from diffusion_finetuning_tpu.io import torch_pickle
+from diffusion_finetuning_tpu.models.clip_text import (
+    resize_token_embeddings,
+    text_encoder_lora_targets,
+)
+from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler
+from diffusion_finetuning_tpu.models.unet import unet_lora_targets
+from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
+from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
+from diffusion_finetuning_tpu.training.train_step import (
+    TrainablePartition,
+    build_train_step,
+    jit_train_step,
+)
+
+
+def parse_args(input_args=None):
+    parser = argparse.ArgumentParser(description="Joint LoRA+TI training (TPU).")
+    a = parser.add_argument
+    a("--pretrained_model_name_or_path", type=str, default=None, required=True)
+    a("--pretrained_vae_name_or_path", type=str, default=None)
+    a("--revision", type=str, default=None)
+    a("--tokenizer_name", type=str, default=None)
+    a("--instance_data_dir", type=str, default=None, required=True)
+    a("--class_data_dir", type=str, default=None)
+    a("--class_prompt", type=str, default=None)
+    a("--placeholder_token", type=str, default=None, required=True)
+    a("--stochastic_attribute", type=str, default=None)
+    a("--initializer_token", type=str, default=None, required=True)
+    a("--learnable_property", type=str, default="object")
+    a("--with_prior_preservation", default=False, action="store_true")
+    a("--prior_loss_weight", type=float, default=1.0)
+    a("--num_class_images", type=int, default=100)
+    a("--output_dir", type=str, default="text-inversion-model")
+    a("--output_format", type=str, choices=["pt", "safe", "both"], default="both")
+    a("--seed", type=int, default=None)
+    a("--resolution", type=int, default=512)
+    a("--center_crop", action="store_true")
+    a("--color_jitter", action="store_true")
+    a("--train_text_encoder", action="store_true")
+    a("--train_batch_size", type=int, default=4)
+    a("--sample_batch_size", type=int, default=4)
+    a("--num_train_epochs", type=int, default=1)
+    a("--max_train_steps", type=int, default=None)
+    a("--save_steps", type=int, default=500)
+    a("--gradient_accumulation_steps", type=int, default=1)
+    a("--gradient_checkpointing", action="store_true")
+    a("--lora_rank", type=int, default=4)
+    a("--learning_rate", type=float, default=5e-6)
+    a("--learning_rate_text", type=float, default=5e-6)
+    a("--learning_rate_ti", type=float, default=5e-4)
+    a("--unfreeze_lora_step", type=int, default=1500)
+    a("--just_ti", action="store_true")
+    a("--scale_lr", action="store_true")
+    a("--lr_scheduler", type=str, default="constant")
+    a("--lr_warmup_steps", type=int, default=500)
+    a("--use_8bit_adam", action="store_true")
+    a("--adam_beta1", type=float, default=0.9)
+    a("--adam_beta2", type=float, default=0.999)
+    a("--adam_weight_decay", type=float, default=1e-2)
+    a("--adam_epsilon", type=float, default=1e-08)
+    a("--max_grad_norm", default=1.0, type=float)
+    a("--logging_dir", type=str, default="logs")
+    a("--mixed_precision", type=str, default=None, choices=["no", "fp16", "bf16"])
+    a("--local_rank", type=int, default=-1)
+    a("--resize", type=bool, default=True)
+    a("--use_xformers", action="store_true")
+
+    args = parser.parse_args(input_args)
+    env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
+    if env_local_rank not in (-1, args.local_rank):
+        args.local_rank = env_local_rank
+    if args.with_prior_preservation:
+        if args.class_data_dir is None:
+            raise ValueError("You must specify a data directory for class images.")
+        if args.class_prompt is None:
+            raise ValueError("You must specify prompt for class images.")
+    return args
+
+
+def main(args):
+    rng = jax.random.PRNGKey(args.seed or 0)
+    dtype = jnp.bfloat16 if args.mixed_precision in ("fp16", "bf16") else jnp.float32
+    pipe = StableDiffusionPipeline.from_pretrained(
+        args.pretrained_model_name_or_path, dtype=dtype
+    )
+    tokenizer = pipe.tokenizer
+
+    # install the placeholder token, init from the (single-token) initializer
+    num_added = tokenizer.add_tokens(args.placeholder_token)
+    if num_added == 0:
+        raise ValueError(
+            f"The tokenizer already contains the token {args.placeholder_token}."
+        )
+    init_ids = tokenizer._tokenize_text(args.initializer_token)
+    if len(init_ids) > 1:
+        raise ValueError("The initializer token must be a single token.")
+    placeholder_token_id = tokenizer.convert_tokens_to_ids(args.placeholder_token)
+    pipe.text_params = resize_token_embeddings(pipe.text_params, len(tokenizer))
+    emb = pipe.text_params["token_embedding"]["embedding"]
+    emb = emb.at[placeholder_token_id].set(emb[init_ids[0]])
+    pipe.text_params = {**pipe.text_params, "token_embedding": {"embedding": emb}}
+
+    unet_targets = lora_lib.filter_targets(
+        unet_lora_targets(pipe.unet_config), lora_lib.DEFAULT_TARGET_REPLACE
+    )
+    text_targets = lora_lib.filter_targets(
+        text_encoder_lora_targets(pipe.text_config),
+        lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+    )
+    rng, k1, k2 = jax.random.split(rng, 3)
+    unet_lora = lora_lib.inject_trainable_lora(unet_targets, k1, r=args.lora_rank)
+    text_lora = lora_lib.inject_trainable_lora(text_targets, k2, r=args.lora_rank)
+
+    scheduler = DDPMScheduler(pipe.scheduler_config)
+
+    train_dataset = DreamBoothTiDataset(
+        instance_data_root=args.instance_data_dir,
+        placeholder_token=args.placeholder_token,
+        stochastic_attribute=args.stochastic_attribute,
+        learnable_property=args.learnable_property,
+        class_data_root=args.class_data_dir if args.with_prior_preservation else None,
+        class_prompt=args.class_prompt,
+        tokenizer=tokenizer,
+        size=args.resolution,
+        center_crop=args.center_crop,
+        color_jitter=args.color_jitter,
+        resize=args.resize,
+        seed=args.seed,
+    )
+    pad_id = tokenizer.encoder[tokenizer.pad_token]
+    loader = DataLoader(train_dataset, args.train_batch_size, pad_id,
+                        seed=args.seed or 0)
+
+    steps_per_epoch = math.ceil(len(loader) / args.gradient_accumulation_steps)
+    if args.max_train_steps is None:
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+    num_train_epochs = math.ceil(args.max_train_steps / steps_per_epoch)
+
+    lr, lr_text, lr_ti = (args.learning_rate, args.learning_rate_text,
+                          args.learning_rate_ti)
+    if args.scale_lr:
+        scale = args.gradient_accumulation_steps * args.train_batch_size
+        lr, lr_text, lr_ti = lr * scale, lr_text * scale, lr_ti * scale
+
+    unfreeze = args.unfreeze_lora_step
+    common = dict(
+        schedule=args.lr_scheduler, warmup_steps=args.lr_warmup_steps,
+        total_steps=args.max_train_steps, weight_decay=args.adam_weight_decay,
+        betas=(args.adam_beta1, args.adam_beta2), eps=args.adam_epsilon,
+        step_multiplier=args.gradient_accumulation_steps,
+    )
+    if args.just_ti:
+        groups = {"ti_embeddings": ParamGroup(lr=lr_ti, **common)}
+        params = {"ti_embeddings": emb}
+        partition = TrainablePartition(unet_lora=False, text_lora=False, ti=True)
+    else:
+        groups = {
+            "unet_lora": ParamGroup(
+                lr=lr, lr_gate=lambda c: (c >= unfreeze).astype(jnp.float32)
+                if hasattr(c, "astype") else float(c >= unfreeze), **common),
+            "text_lora": ParamGroup(
+                lr=lr_text, lr_gate=lambda c: (c >= unfreeze).astype(jnp.float32)
+                if hasattr(c, "astype") else float(c >= unfreeze), **common),
+            "ti_embeddings": ParamGroup(
+                lr=lr_ti, lr_gate=lambda c: (c < unfreeze).astype(jnp.float32)
+                if hasattr(c, "astype") else float(c < unfreeze), **common),
+        }
+        params = {"unet_lora": unet_lora, "text_lora": text_lora,
+                  "ti_embeddings": emb}
+        partition = TrainablePartition(unet_lora=True, text_lora=True, ti=True)
+
+    def label_fn(tree):
+        return {
+            k: (jax.tree_util.tree_map(lambda _: k, tree[k])
+                if k in ("unet_lora", "text_lora") else k)
+            for k in tree
+        }
+
+    optimizer = multi_group_optimizer(
+        groups, label_fn, grad_accum_steps=args.gradient_accumulation_steps,
+        max_grad_norm=args.max_grad_norm, use_8bit=args.use_8bit_adam,
+    )
+    # clip_ti_decay=False: w_ti restores frozen rows but has no norm decay
+    step_fn = build_train_step(
+        unet=pipe.unet, text_encoder=pipe.text_encoder, vae=pipe.vae,
+        scheduler=scheduler, optimizer=optimizer, partition=partition,
+        with_prior_preservation=args.with_prior_preservation,
+        prior_loss_weight=args.prior_loss_weight,
+        clip_ti_decay=False,
+        grad_accum_steps=args.gradient_accumulation_steps,
+    )
+
+    vocab_rows = emb.shape[0]
+    index_updates = jnp.zeros((vocab_rows,), bool).at[placeholder_token_id].set(True)
+    devices = jax.devices()
+    eff_batch = args.train_batch_size * (2 if args.with_prior_preservation else 1)
+    n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
+    mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
+    jitted = jit_train_step(step_fn, mesh=mesh)
+
+    state = {
+        "params": params,
+        "static": {
+            "unet_params": pipe.unet_params,
+            "text_params": pipe.text_params,
+            "vae_params": pipe.vae_params,
+            "orig_embeddings": emb,
+            "index_updates": index_updates,
+        },
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    if mesh is not None:
+        state = mesh_lib.replicate(state, mesh)
+
+    print("***** Running training *****")
+    print(f"  Num examples = {len(train_dataset)}")
+    print(f"  Num Epochs = {num_train_epochs}")
+    print(f"  Total optimization steps = {args.max_train_steps}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    global_step, last_save = 0, 0
+
+    def save_periodic(sh, epoch, step):
+        base = f"{args.output_dir}/lora_weight_e{epoch}_s{step}"
+        if not args.just_ti:
+            lora_lib.save_lora_weight(sh["params"]["unet_lora"], unet_targets,
+                                      base + ".pt")
+            lora_lib.save_lora_weight(sh["params"]["text_lora"], text_targets,
+                                      base + ".text_encoder.pt")
+        row = np.asarray(sh["params"]["ti_embeddings"])[placeholder_token_id]
+        torch_pickle.save({args.placeholder_token: row}, base + ".ti.pt")
+        print(f"save weights {base}.pt")
+
+    done = False
+    for epoch in range(num_train_epochs):
+        if done:
+            break
+        for batch in loader:
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            rng, key = jax.random.split(rng)
+            state, metrics = jitted(state, batch, key)
+            global_step += 1
+            if global_step % 50 == 0 or global_step == args.max_train_steps:
+                print(f"step {global_step}/{args.max_train_steps} "
+                      f"loss={float(metrics['loss']):.4f}")
+            if (args.save_steps and global_step - last_save >= args.save_steps
+                    and mesh_lib.is_main_process()):
+                save_periodic(jax.device_get(state), epoch, global_step)
+                last_save = global_step
+            if global_step >= args.max_train_steps:
+                done = True
+                break
+
+    mesh_lib.barrier("end of training")
+    sh = jax.device_get(state)
+    print("\n\nLora TRAINING DONE!\n\n")
+
+    if mesh_lib.is_main_process():
+        row = np.asarray(sh["params"]["ti_embeddings"])[placeholder_token_id]
+        if args.output_format in ("pt", "both"):
+            if not args.just_ti:
+                lora_lib.save_lora_weight(
+                    sh["params"]["unet_lora"], unet_targets,
+                    args.output_dir + "/lora_weight.pt")
+                lora_lib.save_lora_weight(
+                    sh["params"]["text_lora"], text_targets,
+                    args.output_dir + "/lora_weight.text_encoder.pt")
+            torch_pickle.save({args.placeholder_token: row},
+                              args.output_dir + "/lora_weight.ti.pt")
+        if args.output_format in ("safe", "both") and not args.just_ti:
+            lora_lib.save_all(
+                sh["params"]["unet_lora"], sh["params"]["text_lora"],
+                unet_targets, text_targets,
+                {args.placeholder_token: row},
+                args.output_dir + "/lora_weight.safetensors",
+            )
+    return sh
+
+
+if __name__ == "__main__":
+    main(parse_args())
