@@ -129,6 +129,24 @@ def to_normalized_array(img: Image.Image) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
+def load_transformed_image(path: str, size: int) -> np.ndarray:
+    """decode -> short-side bilinear resize -> center crop -> [-1,1] float.
+
+    Routes through the native C++ loader (multithreaded libjpeg/libpng +
+    Pillow-matched triangle-filter resampling, see native/dataloader.cpp)
+    when available; PIL otherwise.  Color jitter callers stay on PIL."""
+    from . import native_loader
+
+    if native_loader.available():
+        arr = native_loader.load_image(str(path), size)
+        if arr is not None:
+            return arr
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return to_normalized_array(center_crop(resize_short_side(img, size), size))
+
+
 def detect_face_boxes(path: str) -> Tuple[Optional[List[Tuple[int, int, int, int]]], Tuple[int, int]]:
     """Face bounding boxes (x, y, w, h) and the source (H, W).
 
@@ -233,6 +251,8 @@ class PivotalTuningDatasetCapation:
         return self._length
 
     def _load_image(self, path: Path) -> np.ndarray:
+        if self.resize and not self.color_jitter:
+            return load_transformed_image(str(path), self.size)
         img = Image.open(path)
         if img.mode != "RGB":
             img = img.convert("RGB")
@@ -328,14 +348,16 @@ class DreamBoothDataset:
         return self._length
 
     def _load_image(self, path: Path) -> np.ndarray:
-        img = Image.open(path)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        img = resize_short_side(img, self.size)
-        img = center_crop(img, self.size)
-        if self.color_jitter:
+        if not self.color_jitter:
+            arr = load_transformed_image(str(path), self.size)
+        else:
+            img = Image.open(path)
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            img = resize_short_side(img, self.size)
+            img = center_crop(img, self.size)
             img = color_jitter(img, 0.2, 0.1, self.rng)
-        arr = to_normalized_array(img)
+            arr = to_normalized_array(img)
         if self.h_flip and self.rng.random() > 0.5:
             arr = arr[:, ::-1].copy()
         return arr
@@ -429,16 +451,19 @@ class DreamBoothTiDataset:
         return self._length
 
     def _load_image(self, path: Path) -> np.ndarray:
-        img = Image.open(path)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        if self.resize:
-            img = resize_short_side(img, self.size)
-        # square static shapes for XLA: always end with a center crop
-        img = center_crop(img, self.size)
-        if self.color_jitter:
-            img = color_jitter(img, 0.2, 0.1, self.rng)
-        arr = to_normalized_array(img)
+        if self.resize and not self.color_jitter:
+            arr = load_transformed_image(str(path), self.size)
+        else:
+            img = Image.open(path)
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            if self.resize:
+                img = resize_short_side(img, self.size)
+            # square static shapes for XLA: always end with a center crop
+            img = center_crop(img, self.size)
+            if self.color_jitter:
+                img = color_jitter(img, 0.2, 0.1, self.rng)
+            arr = to_normalized_array(img)
         if self.h_flip and self.rng.random() > 0.5:
             arr = arr[:, ::-1].copy()
         return arr
@@ -515,16 +540,23 @@ def collate_batch(examples: Sequence[Dict], pad_token_id: int,
 
 
 class DataLoader:
-    """Minimal shuffled epoch loader with background prefetch."""
+    """Shuffled epoch loader with background prefetch.
+
+    A worker thread assembles the next batch (image decode runs in the
+    native C++ thread pool, off the GIL) while the device executes the
+    current step — the reference's torch DataLoader(num_workers) role,
+    double-buffered so the accelerator never waits on input."""
 
     def __init__(self, dataset, batch_size: int, pad_token_id: int,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pad_token_id = pad_token_id
         self.shuffle = shuffle
         self.rng = random.Random(seed)
         self.drop_last = drop_last
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -532,7 +564,7 @@ class DataLoader:
             n += 1
         return max(1, n)
 
-    def __iter__(self):
+    def _batches(self):
         idxs = list(range(len(self.dataset)))
         if self.shuffle:
             self.rng.shuffle(idxs)
@@ -547,3 +579,29 @@ class DataLoader:
                 break
             examples = [self.dataset[j] for j in chunk]
             yield collate_batch(examples, self.pad_token_id)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
