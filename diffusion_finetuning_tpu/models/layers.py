@@ -17,12 +17,22 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
 
 default_kernel_init = nn.initializers.lecun_normal()
+
+# Auto-routing of LoRA layers to the fused Pallas kernel on TPU.  Flip with
+# set_fused_lora_auto(); explicit ``use_fused_lora=True/False`` always wins.
+FUSED_LORA_AUTO = True
+
+
+def set_fused_lora_auto(enabled: bool) -> None:
+    global FUSED_LORA_AUTO
+    FUSED_LORA_AUTO = enabled
 
 
 class LoRADense(nn.Module):
@@ -40,6 +50,9 @@ class LoRADense(nn.Module):
     param_dtype: Dtype = jnp.float32
     kernel_init: Callable = default_kernel_init
     bias_init: Callable = nn.initializers.zeros
+    # None = auto: fused Pallas kernel on TPU when the token count is large
+    # enough to tile the MXU; the XLA two-matmul path otherwise.
+    use_fused_lora: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,18 +62,37 @@ class LoRADense(nn.Module):
             "kernel", self.kernel_init, (in_features, self.features), self.param_dtype
         )
         x = x.astype(dtype)
-        y = jnp.dot(x, kernel.astype(dtype))
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,), self.param_dtype)
-            y = y + bias.astype(dtype)
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
         if self.has_variable("lora", "up"):
             up = self.get_variable("lora", "up")
             down = self.get_variable("lora", "down")
             scale = self.get_variable("lora", "scale")
-            # x @ down.T @ up.T, accumulated in fp32 on the MXU, scaled.
+
+            tokens = 1
+            for d in x.shape[:-1]:
+                tokens *= d
+            fused = self.use_fused_lora
+            if fused is None:
+                fused = FUSED_LORA_AUTO and jax.default_backend() == "tpu" and tokens >= 256
+            if fused:
+                from ..ops.lora_matmul import lora_dense
+
+                return lora_dense(x, kernel, bias, up, down, scale)
+            # XLA path: x @ down.T @ up.T accumulated in fp32 on the MXU
+            y = jnp.dot(x, kernel.astype(dtype))
+            if bias is not None:
+                y = y + bias.astype(dtype)
             h = jnp.dot(x, jnp.transpose(down).astype(dtype))
             delta = jnp.dot(h, jnp.transpose(up).astype(dtype))
-            y = y + (scale.astype(dtype) * delta)
+            return y + (scale.astype(dtype) * delta)
+
+        y = jnp.dot(x, kernel.astype(dtype))
+        if bias is not None:
+            y = y + bias.astype(dtype)
         return y
 
 

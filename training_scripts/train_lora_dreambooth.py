@@ -96,6 +96,10 @@ def parse_args(input_args=None):
     a("--resize", type=bool, default=True, required=False)
     a("--use_xformers", action="store_true",
       help="(TPU: flash attention is on by default; kept for CLI parity)")
+    a("--full_state_checkpoint_dir", type=str, default=None,
+      help="Save/auto-resume the FULL train state (params+optimizer+step) "
+           "here every save_steps — fault-tolerant resume beyond the "
+           "reference's weights-only checkpoints.")
 
     args = parser.parse_args(input_args)
     env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
@@ -269,6 +273,17 @@ def main(args):
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if args.full_state_checkpoint_dir:
+        from diffusion_finetuning_tpu.training.checkpoint import (
+            latest_checkpoint,
+            restore_train_state,
+        )
+
+        ckpt = latest_checkpoint(args.full_state_checkpoint_dir)
+        if ckpt:
+            print(f"Resuming full train state from {ckpt}")
+            state = restore_train_state(ckpt, state)
+
     if mesh is not None:
         state = mesh_lib.replicate(state, mesh)
 
@@ -283,8 +298,10 @@ def main(args):
     print(f"  Total optimization steps = {args.max_train_steps}")
 
     os.makedirs(args.output_dir, exist_ok=True)
-    global_step = 0
-    last_save = 0
+    global_step = int(jax.device_get(state["step"]))
+    last_save = global_step
+    if global_step:
+        print(f"Resumed at step {global_step}")
 
     def save_periodic(state_host, epoch, step):
         filename_unet = f"{args.output_dir}/lora_weight_e{epoch}_s{step}.pt"
@@ -314,6 +331,15 @@ def main(args):
             if (args.save_steps and global_step - last_save >= args.save_steps
                     and mesh_lib.is_main_process()):
                 save_periodic(jax.device_get(state), epoch, global_step)
+                if args.full_state_checkpoint_dir:
+                    from diffusion_finetuning_tpu.training.checkpoint import (
+                        save_train_state,
+                    )
+
+                    save_train_state(
+                        args.full_state_checkpoint_dir,
+                        jax.device_get(state), step=global_step,
+                    )
                 last_save = global_step
             if global_step >= args.max_train_steps:
                 done = True
