@@ -75,6 +75,37 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def fsdp_shardings(
+    mesh: Mesh, tree: Any, axis: str = "fsdp", min_size: int = 2**16
+) -> Any:
+    """Per-leaf NamedShardings sharding large params over the ``axis`` mesh
+    dimension (ZeRO-3-style): each leaf's largest divisible dim is split;
+    small/indivisible leaves replicate.  XLA all-gathers shards at use sites
+    — frozen UNet/VAE/CLIP params then cost 1/N memory per chip."""
+    n = mesh.shape[axis]
+
+    def leaf_sharding(x):
+        shape = jnp.shape(x)
+        if n == 1 or np.prod(shape, dtype=np.int64) < min_size:
+            return NamedSharding(mesh, P())
+        # shard the largest dim divisible by n
+        best = None
+        for d, s in enumerate(shape):
+            if s % n == 0 and (best is None or s > shape[best]):
+                best = d
+        if best is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf_sharding, tree)
+
+
+def shard_tree(tree: Any, shardings: Any) -> Any:
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -143,20 +143,27 @@ def build_train_step(
     return step
 
 
-def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False):
+def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
+                   state_shardings=None):
     # donate=True invalidates the caller's `state` buffers — including the
     # frozen model params carried in state["static"], which pipelines may
     # still reference.  LoRA/TI state is tiny, so donation is off by default.
-    """jit with replicated-state / data-sharded-batch shardings."""
+    """jit with replicated-state / data-sharded-batch shardings.
+
+    ``state_shardings`` overrides the state's sharding pytree — pass
+    ``{"static": mesh_lib.fsdp_shardings(mesh, static), ...}`` to keep the
+    frozen model params ZeRO-3-sharded over an ``fsdp`` mesh axis (XLA
+    all-gathers them at use sites)."""
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_in = rep if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(state_in, data, rep),
+        out_shardings=(state_in, rep),
         donate_argnums=(0,) if donate else (),
     )
