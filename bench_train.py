@@ -1,0 +1,99 @@
+"""Secondary benchmark: DreamBooth rank-4 LoRA training steps/sec on one
+chip (BASELINE.md north-star #2: >= 3x A100 steps/sec; an A100 runs the
+reference at roughly 2-3 it/s at 512^2 batch 1).
+
+Random SD1.5-shape weights; jitted full train step (VAE encode + CLIP +
+UNet fwd/bwd + AdamW).  Prints ONE JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+A100_REFERENCE_STEPS_PER_SEC = 2.5  # typical reference DreamBooth-LoRA rate
+
+
+def main():
+    from diffusion_finetuning_tpu import lora as lora_lib
+    from diffusion_finetuning_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler, SchedulerConfig
+    from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel, UNetConfig, unet_lora_targets
+    from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
+    from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
+    from diffusion_finetuning_tpu.training.train_step import (
+        TrainablePartition, build_train_step, jit_train_step,
+    )
+
+    dtype = jnp.bfloat16
+    ucfg, vcfg, tcfg = UNetConfig.sd15(), VAEConfig.sd15(), CLIPTextConfig.sd15()
+    unet = UNet2DConditionModel(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    text_encoder = CLIPTextModel(tcfg, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+
+    unet_params = unet.init(
+        rng, jnp.zeros((1, 64, 64, 4), dtype), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768), dtype))["params"]
+    vae_params = vae.init(rng, jnp.zeros((1, 512, 512, 3), dtype), rng)["params"]
+    text_params = text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    targets = lora_lib.filter_targets(
+        unet_lora_targets(ucfg), lora_lib.DEFAULT_TARGET_REPLACE)
+    unet_lora = lora_lib.inject_trainable_lora(targets, jax.random.PRNGKey(1), r=4)
+
+    optimizer = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-4)},
+        lambda tree: {"unet_lora": jax.tree_util.tree_map(
+            lambda _: "unet_lora", tree["unet_lora"])},
+        max_grad_norm=1.0,
+    )
+    step_fn = build_train_step(
+        unet=unet, text_encoder=text_encoder, vae=vae,
+        scheduler=DDPMScheduler(SchedulerConfig()), optimizer=optimizer,
+        partition=TrainablePartition(unet_lora=True),
+    )
+    params = {"unet_lora": unet_lora}
+    emb = text_params["token_embedding"]["embedding"]
+    state = {
+        "params": params,
+        "static": {
+            "unet_params": unet_params, "text_params": text_params,
+            "vae_params": vae_params, "orig_embeddings": emb,
+            "index_updates": jnp.zeros((emb.shape[0],), bool),
+        },
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    jitted = jit_train_step(step_fn)
+    batch = {
+        "pixel_values": jnp.zeros((1, 512, 512, 3), jnp.float32),
+        "input_ids": jnp.zeros((1, 77), jnp.int32),
+    }
+
+    state, m = jitted(state, batch, jax.random.PRNGKey(2))  # compile
+    jax.block_until_ready(m["loss"])
+    n = 30
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = jitted(state, batch, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(m["loss"])
+    sps = n / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "dreambooth_rank4_512_train_steps_per_sec",
+        "value": round(sps, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / (3 * A100_REFERENCE_STEPS_PER_SEC), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,15 +1,20 @@
 """Convert ``.pt`` LoRA / textual-inversion files to consolidated safetensors.
 
-Re-implementation of the reference module CLI
-(cli_pt_to_safetensors.py:19-85): each input path is auto-detected — a dict
-is a TI embedding file, a list is a flat LoRA; the model name comes from the
-filename (``foo.text_encoder.pt`` -> text_encoder, else unet); per-model
-settings are passed as ``--unet.rank 8``-style prefixed flags.
+Behavior-parity re-implementation of the reference module CLI
+(cli_pt_to_safetensors.py:19-85) without torch:
+
+* each input file is auto-detected — a pickled dict is a TI embedding file,
+  a pickled list is a flat LoRA;
+* the LoRA model name derives from the filename
+  (``foo.pt`` -> ``unet``, ``foo.text_encoder.pt`` -> ``text_encoder``);
+* per-model settings arrive as name-prefixed flags, e.g. ``--unet.rank 8``
+  or ``--text_encoder.target_modules "{'CLIPAttention'}"``.
 """
 
 from __future__ import annotations
 
 import os
+from typing import Any, Dict, Tuple
 
 from .io import torch_pickle
 from .lora import (
@@ -20,56 +25,52 @@ from .lora import (
 )
 from .utils.cli import Fire
 
-_target_by_name = {
-    "unet": UNET_DEFAULT_TARGET_REPLACE,
-    "text_encoder": TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
-}
+
+def _model_name_for(path: str) -> str:
+    """``lora_weight.text_encoder.pt`` -> text_encoder, else unet."""
+    parts = os.path.basename(path).split(".")
+    return parts[-2] if len(parts) > 2 else "unet"
+
+
+def _default_targets(name: str) -> set:
+    if name == "unet":
+        return UNET_DEFAULT_TARGET_REPLACE
+    if name == "text_encoder":
+        return TEXT_ENCODER_DEFAULT_TARGET_REPLACE
+    return DEFAULT_TARGET_REPLACE
+
+
+def _settings_for(name: str, settings: Dict[str, Any]) -> Tuple[set, int]:
+    opts = {"target_modules": _default_targets(name), "rank": 4}
+    for key, value in settings.items():
+        model, _, field = key.partition(".")
+        if model == name and field:
+            opts[field] = value
+    return opts["target_modules"], opts["rank"]
 
 
 def convert(*paths, outpath, overwrite=False, **settings):
-    """Convert one or more pytorch LoRA and/or TI embedding files into one
-    safetensors file.
-
-    Model kind is auto-detected per file (dict => TI embeds, list => LoRA);
-    the LoRA model name is taken from the path (``lora_weight.pt`` => unet,
-    ``lora_weight.text_encoder.pt`` => text_encoder).  Set per-model
-    target_modules/rank with name-prefixed flags, e.g.::
-
-        python -m diffusion_finetuning_tpu.cli_pt_to_safetensors \\
-            lora_weight.pt --outpath lora_weight.safetensors --unet.rank 8
-    """
-    modelmap = {}
-    embeds = {}
-
+    """Bundle one or more ``.pt`` LoRA / TI files into a single safetensors
+    file (kind auto-detected per file; see module docstring for the
+    name-prefixed per-model flags)."""
     if os.path.exists(outpath) and not overwrite:
         raise ValueError(
             f"Output path {outpath} already exists, and overwrite is not True"
         )
 
+    modelmap: Dict[str, Tuple[str, set, int]] = {}
+    embeds: Dict[str, Any] = {}
     for path in paths:
-        data = torch_pickle.load(path)
-
-        if isinstance(data, dict):
-            print(f"Loading textual inversion embeds {list(data.keys())} from {path}")
-            embeds.update(data)
-        else:
-            name_parts = os.path.split(path)[1].split(".")
-            name = name_parts[-2] if len(name_parts) > 2 else "unet"
-
-            model_settings = {
-                "target_modules": _target_by_name.get(name, DEFAULT_TARGET_REPLACE),
-                "rank": 4,
-            }
-            prefix = f"{name}."
-            model_settings.update(
-                {k[len(prefix):]: v for k, v in settings.items() if k.startswith(prefix)}
-            )
-            print(f"Loading Lora for {name} from {path} with settings {model_settings}")
-            modelmap[name] = (
-                path,
-                model_settings["target_modules"],
-                model_settings["rank"],
-            )
+        payload = torch_pickle.load(path)
+        if isinstance(payload, dict):
+            print(f"Loading textual inversion embeds {list(payload)} from {path}")
+            embeds.update(payload)
+            continue
+        name = _model_name_for(path)
+        targets, rank = _settings_for(name, settings)
+        print(f"Loading Lora for {name} from {path} "
+              f"(rank {rank}, targets {sorted(targets)})")
+        modelmap[name] = (path, targets, rank)
 
     convert_loras_to_safeloras_with_embeds(modelmap, embeds, outpath)
 

@@ -27,7 +27,11 @@ default_kernel_init = nn.initializers.lecun_normal()
 
 # Auto-routing of LoRA layers to the fused Pallas kernel on TPU.  Flip with
 # set_fused_lora_auto(); explicit ``use_fused_lora=True/False`` always wins.
-FUSED_LORA_AUTO = True
+# Default False: measured end-to-end on v5e (SD1.5 512^2 50-step txt2img),
+# XLA's epilogue fusion of the two-matmul LoRA path beats the Pallas kernel
+# (1.26 s/img vs 1.72 s/img) — the kernel's full-K VMEM blocking constrains
+# XLA's scheduling more than the saved HBM round-trip gains.
+FUSED_LORA_AUTO = False
 
 
 def set_fused_lora_auto(enabled: bool) -> None:
