@@ -298,9 +298,19 @@ def train(
     mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
     rng = jax.random.PRNGKey(seed)
 
+    preped_clip = None
+    if log_wandb:
+        try:
+            from .utils.eval import prepare_clip_model_sets
+
+            preped_clip = prepare_clip_model_sets()
+        except Exception as e:  # offline environments: log loss only
+            print(f"wandb eval: CLIP models unavailable ({e}); logging loss only")
+
     def run_phase(partition, optimizer, num_steps, save_name, t_mutliplier,
                   ti_sched, label, accum=1):
         nonlocal rng
+        loss_sum = 0.0
         state = {
             "params": {},
             "static": {
@@ -344,6 +354,8 @@ def train(
                 rng, key = jax.random.split(rng)
                 state, metrics = jitted(state, batch, key)
                 global_step += 1
+                if log_wandb:
+                    loss_sum += float(metrics["loss"])
                 if global_step % 50 == 0 or global_step == num_steps:
                     print(f"{label} step {global_step}/{num_steps} "
                           f"loss={float(metrics['loss']):.4f}")
@@ -354,6 +366,36 @@ def train(
                         os.path.join(output_dir, save_name.format(global_step)),
                         save_lora=partition.unet_lora,
                     )
+                    # reference logs loss + CLIP alignment at inversion save
+                    # points (cli_lora_pti.py:370-402)
+                    if log_wandb and label == "inversion":
+                        import wandb
+
+                        wandb.log({"loss": loss_sum / save_steps})
+                        loss_sum = 0.0
+                        if preped_clip is not None:
+                            from PIL import Image as _Image
+
+                            from .utils.eval import evaluate_pipe
+
+                            sh = jax.device_get(state)
+                            pipe.text_params = {
+                                **pipe.text_params,
+                                "token_embedding": {"embedding": jnp.asarray(
+                                    sh["params"]["ti_embeddings"])},
+                            }
+                            images = [
+                                _Image.open(os.path.join(instance_data_dir, f))
+                                for f in os.listdir(instance_data_dir)
+                                if f.endswith((".png", ".jpg"))
+                            ]
+                            wandb.log(evaluate_pipe(
+                                pipe, target_images=images,
+                                class_token=class_token,
+                                learnt_token="".join(placeholder_tokens),
+                                n_test=wandb_log_prompt_cnt, n_step=50,
+                                clip_model_sets=preped_clip,
+                            ))
                     if partition.unet_lora:
                         print("LORA Unet Moved",
                               _mean_moved(jax.device_get(state)["params"]["unet_lora"]))
