@@ -205,10 +205,12 @@ class StableDiffusionPipeline:
     # -- compiled denoise loop ---------------------------------------------
     @functools.lru_cache(maxsize=8)
     def _denoise_fn(self, num_steps: int, height: int, width: int,
-                    scheduler: str, batch: int, latents_given: bool):
-        """Everything device-side lives in ONE jit: initial-latents RNG,
-        the CFG scan, VAE decode, and uint8 postprocess — a remote TPU pays
-        per-dispatch RPC latency, so the whole image is one call."""
+                    scheduler: str, batch: int, latents_given: bool,
+                    text_lora_given: bool = False):
+        """Everything device-side lives in ONE jit: text encoding (CFG pair),
+        initial-latents RNG, the denoise scan, VAE decode, and uint8
+        postprocess — a remote TPU pays per-dispatch RPC latency, so the
+        whole image is one call."""
         sched_cfg = self.scheduler_config
         if scheduler == "ddim":
             sch = DDIMScheduler(sched_cfg)
@@ -223,9 +225,16 @@ class StableDiffusionPipeline:
         lat_shape = (batch, height // factor, width // factor,
                      self.unet_config.in_channels)
 
-        def run(unet_params, vae_params, unet_lora, lat_or_key, context,
-                guidance_scale):
-            # context: (2B, 77, D) = [uncond; cond]
+        text_encoder = self.text_encoder
+        compute_dtype = self.dtype
+
+        def run(unet_params, vae_params, text_params, text_lora, unet_lora,
+                lat_or_key, input_ids, guidance_scale):
+            # input_ids: (2B, 77) = [uncond; cond]
+            text_vars = {"params": text_params}
+            if text_lora_given:
+                text_vars["lora"] = text_lora
+            context = text_encoder.apply(text_vars, input_ids).astype(compute_dtype)
             if latents_given:
                 latents = lat_or_key
             else:
@@ -294,16 +303,21 @@ class StableDiffusionPipeline:
         if rng is None:
             rng = jax.random.PRNGKey(seed)
 
-        # one text-encoder call for [uncond; cond]
-        context = self.encode_prompt(negs + prompts).astype(self.dtype)
+        # tokenize [uncond; cond] on host; text encoding runs inside the jit
+        ids = self.tokenizer(
+            negs + prompts, padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length, return_tensors="np",
+        )["input_ids"]
 
         b = len(prompts)
         fn = self._denoise_fn(
-            num_inference_steps, height, width, scheduler, b, latents is not None
+            num_inference_steps, height, width, scheduler, b,
+            latents is not None, self.text_encoder_lora is not None,
         )
         images = fn(
-            self.unet_params, self.vae_params, self.unet_lora,
-            latents if latents is not None else rng, context,
+            self.unet_params, self.vae_params, self.text_params,
+            self.text_encoder_lora, self.unet_lora,
+            latents if latents is not None else rng, jnp.asarray(ids),
             jnp.asarray(guidance_scale, jnp.float32),
         )
         return self._postprocess(images, output_type)
