@@ -1,0 +1,58 @@
+"""Pipeline behaviors: scheduler paths, determinism, patching."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_cli_tools import _tiny_pipe
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return _tiny_pipe()
+
+
+def test_txt2img_deterministic_per_seed(pipe):
+    a = pipe("a photo", num_inference_steps=2, height=16, width=16,
+             seed=3, output_type="np")
+    b = pipe("a photo", num_inference_steps=2, height=16, width=16,
+             seed=3, output_type="np")
+    c = pipe("a photo", num_inference_steps=2, height=16, width=16,
+             seed=4, output_type="np")
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0  # different seed, different image
+
+
+def test_pndm_scheduler_path(pipe):
+    img = pipe("a photo", num_inference_steps=4, height=16, width=16,
+               scheduler="pndm", output_type="np")
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+
+
+def test_batch_prompts(pipe):
+    imgs = pipe(["a", "b", "c"], num_inference_steps=2, height=16, width=16,
+                output_type="np")
+    assert imgs.shape == (3, 16, 16, 3)
+
+
+def test_lora_changes_output_and_scale_zero_restores(pipe):
+    from diffusion_finetuning_tpu import lora as L
+
+    base = pipe("a photo", num_inference_steps=2, height=16, width=16,
+                seed=0, output_type="np")
+    targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    rng = np.random.default_rng(0)
+    flat = []
+    for t in targets:
+        flat.append(rng.standard_normal((t.out_features, 2)).astype(np.float32) * 0.2)
+        flat.append(rng.standard_normal((2, t.in_features)).astype(np.float32) * 0.2)
+    pipe.unet_lora = L.monkeypatch_lora(flat, targets)
+    with_lora = pipe("a photo", num_inference_steps=2, height=16, width=16,
+                     seed=0, output_type="np")
+    assert np.abs(with_lora - base).max() > 0
+
+    pipe.unet_lora = L.tune_lora_scale(pipe.unet_lora, 0.0)
+    zeroed = pipe("a photo", num_inference_steps=2, height=16, width=16,
+                  seed=0, output_type="np")
+    np.testing.assert_allclose(zeroed, base, atol=1e-5)
+    pipe.unet_lora = None
