@@ -298,3 +298,97 @@ class PNDMScheduler:
         denom = a_t * jnp.sqrt(1.0 - a_prev) + jnp.sqrt(a_t * a_prev * (1.0 - a_t))
         eps_coeff = (a_prev - a_t) / denom
         return sample_coeff * sample - eps_coeff * eps
+
+
+class DPMSolverMultistepScheduler:
+    """DPM-Solver++(2M): deterministic second-order multistep sampler.
+
+    Beyond the reference's scheduler set — 20-25 steps reach the quality the
+    reference needs 50 DDIM/PNDM steps for, roughly halving txt2img serving
+    latency.  Data-prediction (x0) formulation per the DPM-Solver++ paper;
+    state (previous x0 estimate + lambda) is carried explicitly so the loop
+    lives inside ``lax.scan``.
+    """
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = config.betas()
+        ac = np.cumprod(1.0 - betas)
+        self.alphas_cumprod = jnp.asarray(ac, jnp.float32)
+        self.num_train_timesteps = config.num_train_timesteps
+        # lambda(t) = log(alpha_t / sigma_t); precomputed tables
+        alpha = np.sqrt(ac)
+        sigma = np.sqrt(1.0 - ac)
+        self.alpha_t = jnp.asarray(alpha, jnp.float32)
+        self.sigma_t = jnp.asarray(sigma, jnp.float32)
+        self.lambda_t = jnp.asarray(np.log(alpha) - np.log(sigma), jnp.float32)
+        self.final_alpha_cumprod = (
+            jnp.asarray(1.0, jnp.float32)
+            if config.set_alpha_to_one
+            else self.alphas_cumprod[0]
+        )
+
+    def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        step = self.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int32)
+        ts = ts + self.config.steps_offset
+        ts = np.clip(ts, 0, self.num_train_timesteps - 1)
+        return jnp.asarray(ts)
+
+    def init_state(self, sample_shape, dtype=jnp.float32):
+        return {
+            "prev_x0": jnp.zeros(sample_shape, dtype),
+            "prev_lambda": jnp.zeros((), jnp.float32),
+            "counter": jnp.asarray(0, jnp.int32),
+        }
+
+    def _x0(self, model_output, sample, t):
+        a = self.alpha_t[t]
+        s = self.sigma_t[t]
+        if self.config.prediction_type == "epsilon":
+            return (sample - s * model_output) / a
+        if self.config.prediction_type == "v_prediction":
+            return a * sample - s * model_output
+        raise ValueError(self.config.prediction_type)
+
+    def _at_prev(self, prev_t):
+        """alpha/sigma/lambda at the (possibly terminal) previous timestep."""
+        valid = prev_t >= 0
+        tp = jnp.maximum(prev_t, 0)
+        a_prev = jnp.where(valid, self.alphas_cumprod[tp], self.final_alpha_cumprod)
+        alpha = jnp.sqrt(a_prev)
+        sigma = jnp.sqrt(jnp.maximum(1.0 - a_prev, 1e-12))
+        lam = jnp.log(alpha) - jnp.log(sigma)
+        return alpha, sigma, lam
+
+    def step(self, model_output, timestep, sample, state, num_inference_steps):
+        stride = self.num_train_timesteps // num_inference_steps
+        prev_t = timestep - stride
+
+        x0 = self._x0(model_output, sample, timestep)
+        if self.config.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        lam_s = self.lambda_t[timestep]
+        sigma_s = self.sigma_t[timestep]
+        alpha_p, sigma_p, lam_p = self._at_prev(prev_t)
+
+        h = lam_p - lam_s
+        em1 = jnp.expm1(-h)
+
+        # first-order (DPM-Solver++ 1S == DDIM in x0 space)
+        x_first = (sigma_p / sigma_s) * sample - alpha_p * em1 * x0
+
+        # second-order multistep correction using the previous x0 estimate
+        h_prev = lam_s - state["prev_lambda"]
+        r = h_prev / jnp.where(h == 0, 1.0, h)
+        d1 = (x0 - state["prev_x0"]) / jnp.where(r == 0, 1.0, r)
+        x_second = x_first - 0.5 * alpha_p * em1 * d1
+
+        prev = jnp.where(state["counter"] == 0, x_first, x_second)
+        new_state = {
+            "prev_x0": x0.astype(state["prev_x0"].dtype),
+            "prev_lambda": lam_s,
+            "counter": state["counter"] + 1,
+        }
+        return prev.astype(sample.dtype), new_state

@@ -216,11 +216,15 @@ class StableDiffusionPipeline:
             sch = DDIMScheduler(sched_cfg)
         elif scheduler == "pndm":
             sch = PNDMScheduler(sched_cfg)
+        elif scheduler == "dpm":
+            from ..models.schedulers import DPMSolverMultistepScheduler
+
+            sch = DPMSolverMultistepScheduler(sched_cfg)
         else:
             raise ValueError(f"unknown scheduler {scheduler}")
         timesteps = sch.timesteps(num_steps)
         unet = self.unet
-        use_pndm = scheduler == "pndm"
+        stateful = scheduler in ("pndm", "dpm")
         factor = self.vae_scale_factor
         lat_shape = (batch, height // factor, width // factor,
                      self.unet_config.in_channels)
@@ -250,7 +254,7 @@ class StableDiffusionPipeline:
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 return eps_u + guidance_scale * (eps_c - eps_u)
 
-            if use_pndm:
+            if stateful:
                 state = sch.init_state(latents.shape, latents.dtype)
 
                 def body(carry, t):
