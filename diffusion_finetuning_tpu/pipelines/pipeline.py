@@ -326,6 +326,59 @@ class StableDiffusionPipeline:
         )
         return self._postprocess(images, output_type)
 
+    @functools.lru_cache(maxsize=8)
+    def _img2img_fn(self, num_steps: int, t_start: int, height: int, width: int,
+                    batch: int, text_lora_given: bool):
+        """One jit for the whole img2img call: VAE encode + forward noising +
+        text encode + partial denoise scan + decode + uint8 postprocess."""
+        from ..models.schedulers import DDIMScheduler, DDPMScheduler
+
+        sch = DDIMScheduler(self.scheduler_config)
+        ddpm = DDPMScheduler(self.scheduler_config)
+        unet = self.unet
+        vae = self.vae
+        text_encoder = self.text_encoder
+        compute_dtype = self.dtype
+
+        def run(unet_params, vae_params, text_params, text_lora, unet_lora,
+                x, input_ids, key, guidance_scale, ts_used):
+            r_enc, r_noise = jax.random.split(key)
+            post = vae.apply({"params": vae_params}, x.astype(compute_dtype),
+                             method=vae.encode)
+            latents0 = post.sample(r_enc) * SCALING_FACTOR
+            noise = jax.random.normal(r_noise, latents0.shape, jnp.float32)
+            latents = ddpm.add_noise(
+                latents0.astype(jnp.float32), noise, ts_used[:1]
+            )
+
+            text_vars = {"params": text_params}
+            if text_lora_given:
+                text_vars["lora"] = text_lora
+            context = text_encoder.apply(text_vars, input_ids).astype(compute_dtype)
+
+            variables = {"params": unet_params}
+            if unet_lora is not None:
+                variables["lora"] = unet_lora
+
+            def body(xc, t):
+                x2 = jnp.concatenate([xc, xc], axis=0)
+                t2 = jnp.broadcast_to(t, (x2.shape[0],))
+                eps = unet.apply(variables, x2, t2, context)
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                return sch.step(eps, t, xc, num_steps), None
+
+            latents, _ = jax.lax.scan(body, latents, ts_used)
+            images = vae.apply(
+                {"params": vae_params},
+                (latents / SCALING_FACTOR).astype(compute_dtype),
+                method=vae.decode,
+            ).astype(jnp.float32)
+            images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(images * 255.0).astype(jnp.uint8)
+
+        return jax.jit(run)
+
     def img2img(
         self,
         prompt: Union[str, Sequence[str]],
@@ -338,63 +391,40 @@ class StableDiffusionPipeline:
         output_type: str = "pil",
     ):
         """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow)."""
-        from ..models.schedulers import DDIMScheduler, DDPMScheduler
+        from ..models.schedulers import DDIMScheduler
 
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         img = np.asarray(init_image)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         x = jnp.asarray(img)[None] * 2.0 - 1.0  # (1,H,W,3) in [-1,1]
-
-        rng = jax.random.PRNGKey(seed)
-        r_enc, r_noise, r_lat = jax.random.split(rng, 3)
-        vae = self.vae
-
-        @jax.jit
-        def enc(params, x, key):
-            post = vae.apply({"params": params}, x, method=vae.encode)
-            return post.sample(key) * SCALING_FACTOR
-
-        latents0 = enc(self.vae_params, x.astype(self.dtype), r_enc)
+        h, w = img.shape[0], img.shape[1]
 
         sch = DDIMScheduler(self.scheduler_config)
         ts = np.asarray(sch.timesteps(num_inference_steps))
         t_start = int(min(len(ts) - 1, round((1 - strength) * len(ts))))
-        ts_used = ts[t_start:]
+        ts_used = jnp.asarray(ts[t_start:])
 
-        ddpm = DDPMScheduler(self.scheduler_config)
-        noise = jax.random.normal(r_noise, latents0.shape, jnp.float32)
-        latents = ddpm.add_noise(
-            latents0.astype(jnp.float32), noise, jnp.array([int(ts_used[0])])
+        negs = (
+            [negative_prompt] * len(prompts)
+            if isinstance(negative_prompt, str)
+            else list(negative_prompt)
         )
+        ids = self.tokenizer(
+            negs + prompts, padding="max_length", truncation=True,
+            max_length=self.tokenizer.model_max_length, return_tensors="np",
+        )["input_ids"]
 
-        negs = [negative_prompt] * len(prompts) if isinstance(negative_prompt, str) else list(negative_prompt)
-        context = jnp.concatenate(
-            [self.encode_prompt(negs), self.encode_prompt(prompts)], axis=0
-        ).astype(self.dtype)
-
-        variables = {"params": self.unet_params}
-        if self.unet_lora is not None:
-            variables["lora"] = self.unet_lora
-
-        @jax.jit
-        def run(latents, context, gs):
-            def body(x, t):
-                x2 = jnp.concatenate([x, x], axis=0)
-                t2 = jnp.broadcast_to(t, (x2.shape[0],))
-                eps = self.unet.apply(variables, x2, t2, context)
-                eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + gs * (eps_c - eps_u)
-                return sch.step(eps, t, x, num_inference_steps), None
-
-            latents, _ = jax.lax.scan(body, latents, jnp.asarray(ts_used))
-            return self.vae.apply(
-                {"params": self.vae_params},
-                (latents / SCALING_FACTOR).astype(self.dtype),
-                method=self.vae.decode,
-            )
-
-        images = run(latents, context, jnp.asarray(guidance_scale, jnp.float32))
+        fn = self._img2img_fn(
+            num_inference_steps, t_start, h, w, len(prompts),
+            self.text_encoder_lora is not None,
+        )
+        images = fn(
+            self.unet_params, self.vae_params, self.text_params,
+            self.text_encoder_lora, self.unet_lora,
+            x, jnp.asarray(ids), jax.random.PRNGKey(seed),
+            jnp.asarray(guidance_scale, jnp.float32), ts_used,
+        )
         return self._postprocess(images, output_type)
 
     @staticmethod
