@@ -355,13 +355,18 @@ def train(
                 state, metrics = jitted(state, batch, key)
                 global_step += 1
                 if log_wandb:
-                    loss_sum += float(metrics["loss"])
+                    # device scalar: converting to float here would block on
+                    # every step and serialize host/device
+                    loss_sum = loss_sum + metrics["loss"]
                 if global_step % 50 == 0 or global_step == num_steps:
                     print(f"{label} step {global_step}/{num_steps} "
                           f"loss={float(metrics['loss']):.4f}")
                 if global_step % save_steps == 0:
+                    host = jax.device_get(
+                        {k: v for k, v in state.items() if k != "static"}
+                    )
                     _save_checkpoint(
-                        pipe, jax.device_get(state), partition, unet_targets,
+                        pipe, host, partition, unet_targets,
                         text_targets, placeholder_tokens, placeholder_token_ids,
                         os.path.join(output_dir, save_name.format(global_step)),
                         save_lora=partition.unet_lora,
@@ -371,14 +376,14 @@ def train(
                     if log_wandb and label == "inversion":
                         import wandb
 
-                        wandb.log({"loss": loss_sum / save_steps})
+                        wandb.log({"loss": float(loss_sum) / save_steps})
                         loss_sum = 0.0
                         if preped_clip is not None:
                             from PIL import Image as _Image
 
                             from .utils.eval import evaluate_pipe
 
-                            sh = jax.device_get(state)
+                            sh = host
                             pipe.text_params = {
                                 **pipe.text_params,
                                 "token_embedding": {"embedding": jnp.asarray(
@@ -398,10 +403,10 @@ def train(
                             ))
                     if partition.unet_lora:
                         print("LORA Unet Moved",
-                              _mean_moved(jax.device_get(state)["params"]["unet_lora"]))
+                              _mean_moved(host["params"]["unet_lora"]))
                     if partition.text_lora:
                         print("LORA CLIP Moved",
-                              _mean_moved(jax.device_get(state)["params"]["text_lora"]))
+                              _mean_moved(host["params"]["text_lora"]))
                 if global_step >= num_steps:
                     return jax.device_get(state)
         return jax.device_get(state)

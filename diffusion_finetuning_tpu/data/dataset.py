@@ -588,20 +588,39 @@ class DataLoader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _END = object()
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator (early break / return in the training loop)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
-            finally:
-                q.put(_END)
+                    if not _put(batch):
+                        return
+                _put(_END)
+            except BaseException as e:  # propagate to the consumer
+                _put((_END, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+                    raise item[1]
+                yield item
+            t.join()
+        finally:
+            stop.set()

@@ -385,7 +385,11 @@ class DPMSolverMultistepScheduler:
         d1 = (x0 - state["prev_x0"]) / jnp.where(r == 0, 1.0, r)
         x_second = x_first - 0.5 * alpha_p * em1 * d1
 
-        prev = jnp.where(state["counter"] == 0, x_first, x_second)
+        # first order on the very first step (no history) AND on the final
+        # step into the terminal boundary, where the huge lambda gap makes
+        # the 1/r correction unstable (diffusers' lower_order_final)
+        use_first = jnp.logical_or(state["counter"] == 0, prev_t < 0)
+        prev = jnp.where(use_first, x_first, x_second)
         new_state = {
             "prev_x0": x0.astype(state["prev_x0"].dtype),
             "prev_lambda": lam_s,

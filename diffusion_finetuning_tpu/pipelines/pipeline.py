@@ -346,6 +346,9 @@ class StableDiffusionPipeline:
             post = vae.apply({"params": vae_params}, x.astype(compute_dtype),
                              method=vae.encode)
             latents0 = post.sample(r_enc) * SCALING_FACTOR
+            # one init image, `batch` prompts: broadcast the encoded image,
+            # sample independent noise per prompt
+            latents0 = jnp.tile(latents0, (batch, 1, 1, 1))
             noise = jax.random.normal(r_noise, latents0.shape, jnp.float32)
             latents = ddpm.add_noise(
                 latents0.astype(jnp.float32), noise, ts_used[:1]
@@ -430,7 +433,9 @@ class StableDiffusionPipeline:
     @staticmethod
     def _postprocess(images: jnp.ndarray, output_type: str):
         images = np.asarray(images)
-        if images.dtype != np.uint8:  # img2img path emits floats in [-1,1]
+        if images.dtype != np.uint8:
+            # both built-in paths emit uint8 from the jit; this branch only
+            # serves external callers passing raw [-1,1] float decodes
             images = np.clip(images.astype(np.float32) / 2 + 0.5, 0.0, 1.0)
             images = (images * 255).round().astype(np.uint8)
         if output_type == "np":

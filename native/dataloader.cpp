@@ -47,7 +47,8 @@ uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
-  uint8_t* out = nullptr;
+  // volatile: modified between setjmp and longjmp (C longjmp semantics)
+  uint8_t* volatile out = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -79,7 +80,7 @@ uint8_t* decode_png(FILE* f, int* w, int* h) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return nullptr;
   }
-  uint8_t* out = nullptr;
+  uint8_t* volatile out = nullptr;
   std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
@@ -210,14 +211,15 @@ int load_one_impl(const char* path, int size, int flip, float* out) {
   fclose(f);
   if (!rgb) return 2;
 
-  // short-side resize to `size`, keeping aspect
+  // short-side resize to `size`, keeping aspect; round-half-even matches
+  // the Python path's round() (banker's rounding)
   int nw, nh;
   if (w <= h) {
     nw = size;
-    nh = std::max(size, int(std::lround(double(h) * size / w)));
+    nh = std::max(size, int(std::nearbyint(double(h) * size / w)));
   } else {
     nh = size;
-    nw = std::max(size, int(std::lround(double(w) * size / h)));
+    nw = std::max(size, int(std::nearbyint(double(w) * size / h)));
   }
   std::vector<uint8_t> resized(size_t(nw) * nh * 3);
   bilinear_resize(rgb, w, h, resized.data(), nw, nh);

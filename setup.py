@@ -12,7 +12,6 @@ with open(os.path.join(here, "README.md"), encoding="utf-8") as f:
 
 setup(
     name="diffusion_finetuning_tpu",
-    py_modules=["diffusion_finetuning_tpu"],
     version="0.1.0",
     description=(
         "TPU-native (JAX/XLA/Pallas) LoRA fine-tuning for Stable Diffusion: "

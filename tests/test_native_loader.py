@@ -61,3 +61,44 @@ def test_load_transformed_image_works_either_way(images):
 @needs_native
 def test_native_missing_file_returns_none():
     assert nl.load_image("/nonexistent/zzz.png", 32) is None
+
+
+def test_prefetch_loader_propagates_errors(tmp_path):
+    """A corrupt image must raise in the training loop, not silently end."""
+    import pytest as _pytest
+
+    from diffusion_finetuning_tpu.data.dataset import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise OSError("corrupt image")
+
+    dl = DataLoader(Broken(), 2, pad_token_id=0, prefetch=2)
+    with _pytest.raises(OSError, match="corrupt image"):
+        list(dl)
+
+
+def test_prefetch_loader_early_abandon_no_hang():
+    import threading
+    import time
+
+    from diffusion_finetuning_tpu.data.dataset import DataLoader
+
+    class Slowish:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"instance_images": np.zeros((4, 4, 3), np.float32),
+                    "instance_prompt_ids": [1, 2]}
+
+    dl = DataLoader(Slowish(), 1, pad_token_id=0, prefetch=2)
+    it = iter(dl)
+    next(it)
+    n_before = threading.active_count()
+    it.close()  # abandon mid-epoch
+    time.sleep(0.5)
+    assert threading.active_count() <= n_before  # worker exited

@@ -56,3 +56,10 @@ def test_lora_changes_output_and_scale_zero_restores(pipe):
                   seed=0, output_type="np")
     np.testing.assert_allclose(zeroed, base, atol=1e-5)
     pipe.unet_lora = None
+
+
+def test_img2img_multi_prompt(pipe):
+    img = pipe.img2img(["a", "b"], np.zeros((16, 16, 3), np.uint8),
+                       num_inference_steps=3, output_type="np")
+    assert img.shape == (2, 16, 16, 3)
+    assert np.isfinite(img).all()

@@ -330,15 +330,18 @@ def main(args):
                       f"loss={float(metrics['loss']):.4f}")
             if (args.save_steps and global_step - last_save >= args.save_steps
                     and mesh_lib.is_main_process()):
-                save_periodic(jax.device_get(state), epoch, global_step)
+                # fetch once, without the multi-GB frozen static params
+                host = jax.device_get(
+                    {k: v for k, v in state.items() if k != "static"}
+                )
+                save_periodic(host, epoch, global_step)
                 if args.full_state_checkpoint_dir:
                     from diffusion_finetuning_tpu.training.checkpoint import (
                         save_train_state,
                     )
 
                     save_train_state(
-                        args.full_state_checkpoint_dir,
-                        jax.device_get(state), step=global_step,
+                        args.full_state_checkpoint_dir, host, step=global_step,
                     )
                 last_save = global_step
             if global_step >= args.max_train_steps:
