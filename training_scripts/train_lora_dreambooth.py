@@ -303,6 +303,16 @@ def main(args):
     if global_step:
         print(f"Resumed at step {global_step}")
 
+    # loss/lr scalars to tensorboard (reference: accelerator.log,
+    # train_lora_dreambooth.py:959-961) + rolling step-time stats
+    from diffusion_finetuning_tpu.utils.profiling import MetricLogger, StepTimer
+
+    logger = MetricLogger(
+        log_dir=os.path.join(args.output_dir, args.logging_dir)
+        if mesh_lib.is_main_process() else None
+    )
+    timer = StepTimer()
+
     def save_periodic(state_host, epoch, step):
         filename_unet = f"{args.output_dir}/lora_weight_e{epoch}_s{step}.pt"
         print(f"save weights {filename_unet}")
@@ -325,9 +335,13 @@ def main(args):
             rng, key = jax.random.split(rng)
             state, metrics = jitted(state, batch, key)
             global_step += 1
+            timer.tick()
             if global_step % 50 == 0 or global_step == args.max_train_steps:
+                loss = float(metrics["loss"])
                 print(f"step {global_step}/{args.max_train_steps} "
-                      f"loss={float(metrics['loss']):.4f}")
+                      f"loss={loss:.4f} ({timer.steps_per_sec:.2f} steps/s)")
+                logger.log({"loss": loss,
+                            "steps_per_sec": timer.steps_per_sec}, global_step)
             if (args.save_steps and global_step - last_save >= args.save_steps
                     and mesh_lib.is_main_process()):
                 # fetch once, without the multi-GB frozen static params
