@@ -1,0 +1,121 @@
+"""Micro-batching generation server for production serving.
+
+Beyond the reference (which only offers notebook inference): concurrent
+txt2img requests are coalesced into device batches — callers block on a
+future while a single worker thread drains the queue, groups requests that
+share (resolution, steps, scheduler, guidance) into one batched ``pipe()``
+call, and fans results back out.  The pipeline's jit cache makes every
+(batch, resolution, steps) combination compile once; batching raises chip
+utilization the same way the serving stack batches LLM requests.
+
+``scripts/serve.py`` exposes this over HTTP.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class _Request:
+    prompt: str
+    negative_prompt: str
+    height: int
+    width: int
+    steps: int
+    guidance_scale: float
+    scheduler: str
+    seed: int
+    future: Future = field(default_factory=Future)
+
+    def batch_key(self) -> Tuple:
+        return (self.height, self.width, self.steps, self.guidance_scale,
+                self.scheduler)
+
+
+class GenerationServer:
+    """Queue + worker thread micro-batching txt2img over one pipeline."""
+
+    def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 20.0,
+                 allowed_batches: Optional[List[int]] = None):
+        self.pipe = pipe
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        # jit compiles per batch size: round batches to this ladder so the
+        # warm set stays small (requests are padded by repetition)
+        self.allowed_batches = sorted(allowed_batches or [1, 2, 4])
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, prompt: str, negative_prompt: str = "", height: int = 512,
+               width: int = 512, steps: int = 30, guidance_scale: float = 7.5,
+               scheduler: str = "dpm", seed: int = 0) -> Future:
+        req = _Request(prompt, negative_prompt, height, width, steps,
+                       guidance_scale, scheduler, seed)
+        self._q.put(req)
+        return req.future
+
+    def generate(self, *args, **kwargs):
+        return self.submit(*args, **kwargs).result()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- worker --------------------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        try:
+            first = self._q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = threading.Event()
+        deadline.wait(self.max_wait_s)  # small coalescing window
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt.batch_key() == first.batch_key():
+                batch.append(nxt)
+            else:
+                self._q.put(nxt)  # different shape class: next round
+                break
+        return batch
+
+    def _rounded(self, n: int) -> int:
+        for b in self.allowed_batches:
+            if b >= n:
+                return b
+        return self.allowed_batches[-1]
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            r0 = batch[0]
+            n = len(batch)
+            nb = self._rounded(n)
+            prompts = [r.prompt for r in batch] + [r0.prompt] * (nb - n)
+            negs = [r.negative_prompt for r in batch] + [r0.negative_prompt] * (nb - n)
+            try:
+                images = self.pipe(
+                    prompts, negative_prompt=negs, height=r0.height,
+                    width=r0.width, num_inference_steps=r0.steps,
+                    guidance_scale=r0.guidance_scale, scheduler=r0.scheduler,
+                    seed=r0.seed, output_type="pil",
+                )
+                for r, img in zip(batch, images[:n]):
+                    r.future.set_result(img)
+            except Exception as e:
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -1,0 +1,77 @@
+"""HTTP txt2img serving on one chip.
+
+POST /generate  {"prompt": "...", "steps": 30, "height": 512, "width": 512,
+                 "guidance_scale": 7.5, "scheduler": "dpm", "seed": 0}
+-> image/png
+
+Concurrent requests are micro-batched onto the device by
+diffusion_finetuning_tpu.serving.GenerationServer.
+
+Usage: python scripts/serve.py MODEL_DIR [--lora path.safetensors]
+       [--port 8000] [--max_batch 4]
+"""
+
+import io
+import json
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline, patch_pipe
+from diffusion_finetuning_tpu.serving import GenerationServer
+from diffusion_finetuning_tpu.utils.cli import Fire
+
+
+def serve(model_dir: str, lora: str = None, port: int = 8000,
+          max_batch: int = 4, host: str = "127.0.0.1"):
+    pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)
+    if lora:
+        patch_pipe(pipe, lora, patch_unet=True, patch_text=True, patch_ti=True)
+    server = GenerationServer(pipe, max_batch=max_batch)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+                img = server.generate(
+                    prompt=body.get("prompt", ""),
+                    negative_prompt=body.get("negative_prompt", ""),
+                    height=int(body.get("height", 512)),
+                    width=int(body.get("width", 512)),
+                    steps=int(body.get("steps", 30)),
+                    guidance_scale=float(body.get("guidance_scale", 7.5)),
+                    scheduler=body.get("scheduler", "dpm"),
+                    seed=int(body.get("seed", 0)),
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            except Exception as e:  # pragma: no cover
+                self.send_error(500, str(e))
+
+        def log_message(self, fmt, *args):
+            print(f"[serve] {fmt % args}")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"serving txt2img on http://{host}:{port}/generate")
+    try:
+        httpd.serve_forever()
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    Fire(serve)

@@ -1,0 +1,47 @@
+"""Micro-batching generation server: coalescing, padding, fan-out, errors."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from diffusion_finetuning_tpu.serving import GenerationServer
+from tests.test_cli_tools import _tiny_pipe
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return _tiny_pipe()
+
+
+def test_server_single_and_concurrent(pipe):
+    calls = []
+    orig = pipe.__class__.__call__
+
+    def spy(self, prompt, **kw):
+        calls.append(len(prompt) if isinstance(prompt, list) else 1)
+        return orig(self, prompt, **kw)
+
+    pipe.__class__.__call__ = spy
+    try:
+        server = GenerationServer(pipe, max_batch=4, max_wait_ms=200)
+        kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+        img = server.generate("a", **kw)
+        assert img.size == (16, 16)
+
+        # concurrent submits coalesce into one batched call
+        futures = [server.submit(p, **kw) for p in ("x", "y", "z")]
+        imgs = [f.result(timeout=120) for f in futures]
+        assert all(im.size == (16, 16) for im in imgs)
+        assert max(calls) >= 2  # at least one real batch happened
+        server.close()
+    finally:
+        pipe.__class__.__call__ = orig
+
+
+def test_server_propagates_errors(pipe):
+    server = GenerationServer(pipe, max_batch=2, max_wait_ms=10)
+    fut = server.submit("a", height=7, width=7, steps=1)  # invalid size
+    with pytest.raises(Exception):
+        fut.result(timeout=120)
+    server.close()
