@@ -58,6 +58,7 @@ from .tree_util import Path, tree_get, tree_has, tree_set, tree_delete
 __all__ = [
     "EMBED_FLAG",
     "UNET_DEFAULT_TARGET_REPLACE",
+    "UNET_EXTENDED_TARGET_REPLACE",
     "TEXT_ENCODER_DEFAULT_TARGET_REPLACE",
     "DEFAULT_TARGET_REPLACE",
     "LoraTarget",
@@ -95,6 +96,9 @@ __all__ = [
 UNET_DEFAULT_TARGET_REPLACE = {"CrossAttention", "Attention", "GEGLU"}
 TEXT_ENCODER_DEFAULT_TARGET_REPLACE = {"CLIPAttention"}
 DEFAULT_TARGET_REPLACE = UNET_DEFAULT_TARGET_REPLACE
+# Conv2d LoRA extension (upstream added LoraInjectedConv2d after this
+# snapshot; BASELINE.json's north star names it): ResnetBlock2D convs.
+UNET_EXTENDED_TARGET_REPLACE = UNET_DEFAULT_TARGET_REPLACE | {"ResnetBlock2D"}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +116,13 @@ class LoraTarget:
     in_features: int
     out_features: int
     ancestor: str
+    # dense targets: None.  conv targets: (kh, kw) — up/down pairs are then
+    # torch-Conv2d-shaped: up (out, r, 1, 1), down (r, in, kh, kw)
+    kernel_size: Optional[Tuple[int, int]] = None
+
+    @property
+    def is_conv(self) -> bool:
+        return self.kernel_size is not None
 
 
 def filter_targets(
@@ -155,7 +166,21 @@ def flat_to_lora_tree(
     for i, t in enumerate(targets):
         up = jnp.asarray(np.asarray(flat[2 * i], dtype=np.float32), dtype=dtype)
         down = jnp.asarray(np.asarray(flat[2 * i + 1], dtype=np.float32), dtype=dtype)
-        if up.shape[0] != t.out_features or down.shape[1] != t.in_features:
+        if t.is_conv:
+            # conv pairs are torch-Conv2d-shaped; accept 2-D rank factors too
+            r = up.shape[1]
+            if up.ndim == 2:
+                up = up.reshape(t.out_features, r, 1, 1)
+            if down.ndim == 2:
+                down = down.reshape(down.shape[0], t.in_features, *t.kernel_size)
+            ok = (
+                up.shape[0] == t.out_features
+                and down.shape[1] == t.in_features
+                and tuple(down.shape[2:]) == tuple(t.kernel_size)
+            )
+        else:
+            ok = up.shape[0] == t.out_features and down.shape[1] == t.in_features
+        if not ok:
             raise ValueError(
                 f"target {t.path}: file pair (up {up.shape}, down {down.shape}) "
                 f"does not match layer ({t.in_features} -> {t.out_features})"
@@ -208,6 +233,11 @@ def inject_trainable_lora(
         if flat is not None:
             up = jnp.asarray(np.asarray(flat[2 * i], np.float32), dtype)
             down = jnp.asarray(np.asarray(flat[2 * i + 1], np.float32), dtype)
+        elif t.is_conv:
+            rng, key = jax.random.split(rng)
+            kh, kw = t.kernel_size
+            down = jax.random.normal(key, (r, t.in_features, kh, kw), dtype) / r
+            up = jnp.zeros((t.out_features, r, 1, 1), dtype)
         else:
             rng, key = jax.random.split(rng)
             down = (jax.random.normal(key, (r, t.in_features), dtype) / r)
@@ -351,7 +381,12 @@ def weight_apply_lora(
         down = np.asarray(flat[2 * i + 1], np.float32)
         layer = dict(tree_get(params, t.path))
         kernel = layer["kernel"]
-        delta = jnp.asarray((up @ down).T, dtype=kernel.dtype)
+        if t.is_conv:
+            # torch conv delta (out,in,kh,kw) -> flax (kh,kw,in,out)
+            dt = np.einsum("or,rikl->oikl", up[:, :, 0, 0], down)
+            delta = jnp.asarray(dt.transpose(2, 3, 1, 0), dtype=kernel.dtype)
+        else:
+            delta = jnp.asarray((up @ down).T, dtype=kernel.dtype)
         layer["kernel"] = kernel + alpha * delta
         new_params = tree_set(new_params, t.path, layer)
     return new_params
@@ -470,6 +505,9 @@ def inspect_lora(lora_tree: Mapping[str, Any]) -> Dict[str, List[float]]:
             if "up" in node and "down" in node:
                 up = np.asarray(node["up"], np.float32)
                 down = np.asarray(node["down"], np.float32)
+                if up.ndim == 4:  # conv pair: flatten to rank factors
+                    up = up.reshape(up.shape[0], -1)
+                    down = down.reshape(down.shape[0], -1)
                 dist = float(np.abs(up @ down).mean())
                 moved.setdefault(prefix, []).append(dist)
                 return

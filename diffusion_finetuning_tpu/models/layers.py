@@ -100,6 +100,65 @@ class LoRADense(nn.Module):
         return y
 
 
+class LoRAConv(nn.Module):
+    """Conv layer with an optional low-rank LoRA delta.
+
+    The upstream lineage later added ``LoraInjectedConv2d`` (post-snapshot;
+    named in BASELINE.json's north star): the delta is a rank-r pair of
+    convs — a kh×kw conv to r channels followed by a 1×1 conv to the output
+    channels.  On-disk layout follows torch Conv2d weights: ``up``
+    (out, r, 1, 1), ``down`` (r, in, kh, kw).
+
+    Param layout matches ``nn.Conv`` (``kernel`` (kh, kw, in, out) +
+    ``bias``), so existing checkpoints and the HF weight mapping are
+    unchanged.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        in_features = x.shape[-1]
+        dtype = self.dtype or x.dtype
+        kernel = self.param(
+            "kernel", default_kernel_init,
+            (kh, kw, in_features, self.features), self.param_dtype,
+        )
+        pad = [(self.padding, self.padding)] * 2
+        x = x.astype(dtype)
+
+        def conv(inp, k, strides):
+            return jax.lax.conv_general_dilated(
+                inp, k.astype(dtype), window_strides=strides, padding=pad
+                if k.shape[:2] != (1, 1) else [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(x, kernel, self.strides)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(dtype)
+
+        if self.has_variable("lora", "up"):
+            up = self.get_variable("lora", "up")        # (out, r, 1, 1)
+            down = self.get_variable("lora", "down")    # (r, in, kh, kw)
+            scale = self.get_variable("lora", "scale")
+            down_k = jnp.transpose(down, (2, 3, 1, 0))  # (kh, kw, in, r)
+            up_k = jnp.transpose(up, (2, 3, 1, 0))      # (1, 1, r, out)
+            h = conv(x, down_k, self.strides)
+            delta = conv(h, up_k, (1, 1))
+            y = y + scale.astype(dtype) * delta
+        return y
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP's activation: x * sigmoid(1.702 x)."""
     return x * nn.sigmoid(1.702 * x)

@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ..lora import LoraTarget
 from ..ops.attention import attention as attention_op
-from .layers import LoRADense
+from .layers import LoRAConv, LoRADense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,16 +131,21 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        # LoRA-capable convs (the upstream LoraInjectedConv2d extension):
+        # plain convs unless a `lora` collection entry targets them
+        h = LoRAConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb)
         )
         h = h + t[:, None, None, :]
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = LoRAConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                     name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = LoRAConv(self.out_channels, (1, 1), dtype=self.dtype,
+                         name="conv_shortcut")(x)
         return x + h
 
 
@@ -393,3 +398,62 @@ def unet_lora_targets(config: UNetConfig) -> list:
             add_transformer_block((f"up_blocks_{i}_attentions_{j}",), rev[i])
     add_transformer_block(("mid_block_attentions_0",), cfg.block_out_channels[-1])
     return targets
+
+
+def _resnet_channel_map(cfg: UNetConfig):
+    """(path_prefix, in_channels, out_channels) for every ResnetBlock2D, in
+    down_blocks -> up_blocks -> mid_block order (matching the linear-target
+    enumeration convention)."""
+    out = []
+    chans = list(cfg.block_out_channels)
+    prev = chans[0]
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            cin = prev if j == 0 else ch
+            out.append((f"down_blocks_{i}_resnets_{j}", cin, ch))
+        prev = ch
+
+    # up blocks consume skip connections: in = out_ch + skip_ch
+    rev = list(reversed(chans))
+    # skip channels popped in reverse of how down path pushed them
+    down_outs = [chans[0]]  # conv_in output
+    for i, ch in enumerate(chans):
+        for j in range(cfg.layers_per_block):
+            down_outs.append(ch)
+        if i < len(chans) - 1:
+            down_outs.append(ch)  # downsampler
+    for i in range(len(rev)):
+        ch = rev[i]
+        prev_ch = rev[max(i - 1, 0)]
+        for j in range(cfg.layers_per_block + 1):
+            skip = down_outs.pop()
+            cin = (prev_ch if j == 0 else ch) + skip
+            out.append((f"up_blocks_{i}_resnets_{j}", cin, ch))
+
+    mid = chans[-1]
+    out.append(("mid_block_resnets_0", mid, mid))
+    out.append(("mid_block_resnets_1", mid, mid))
+    return out
+
+
+def unet_conv_lora_targets(config: UNetConfig) -> list:
+    """Conv2d LoRA targets (the LoraInjectedConv2d extension): conv1/conv2
+    (3x3) and conv_shortcut (1x1, when present) of every ResnetBlock2D,
+    ancestor name "ResnetBlock2D".  Appended after the linear targets in the
+    combined enumeration (no reference golden ordering exists for convs —
+    the feature postdates the snapshot)."""
+    targets = []
+    for prefix, cin, cout in _resnet_channel_map(config):
+        targets.append(LoraTarget((prefix, "conv1"), cin, cout,
+                                  "ResnetBlock2D", kernel_size=(3, 3)))
+        targets.append(LoraTarget((prefix, "conv2"), cout, cout,
+                                  "ResnetBlock2D", kernel_size=(3, 3)))
+        if cin != cout:
+            targets.append(LoraTarget((prefix, "conv_shortcut"), cin, cout,
+                                      "ResnetBlock2D", kernel_size=(1, 1)))
+    return targets
+
+
+def unet_all_lora_targets(config: UNetConfig) -> list:
+    """Linear targets (canonical order) + conv extension targets."""
+    return unet_lora_targets(config) + unet_conv_lora_targets(config)

@@ -29,8 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_Q_BLOCK = 256
-DEFAULT_KV_BLOCK = 512
+# measured on v5e end-to-end (SD1.5 512^2 50-step txt2img): 512/1024 beats
+# 256/512 by ~5% (1.21 s vs 1.27 s per image)
+DEFAULT_Q_BLOCK = 512
+DEFAULT_KV_BLOCK = 1024
 NEG_INF = -1e30
 
 

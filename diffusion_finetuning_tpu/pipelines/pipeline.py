@@ -142,8 +142,11 @@ class StableDiffusionPipeline:
     # -- reference-compat model addressing ---------------------------------
     def lora_targets(self, name: str, target_replace: set) -> list:
         if name == "unet":
+            from ..models.unet import unet_all_lora_targets
+
+            # linear targets in canonical order, conv-extension targets after
             return lora_lib.filter_targets(
-                unet_lora_targets(self.unet_config), target_replace
+                unet_all_lora_targets(self.unet_config), target_replace
             )
         if name == "text_encoder":
             return lora_lib.filter_targets(

@@ -1,0 +1,152 @@
+"""Conv2d LoRA extension (LoraInjectedConv2d equivalent): target
+enumeration matches real param shapes, forward effect, merge math,
+serialization round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_finetuning_tpu import lora as L
+from diffusion_finetuning_tpu.models.unet import (
+    UNet2DConditionModel,
+    UNetConfig,
+    unet_all_lora_targets,
+    unet_conv_lora_targets,
+)
+from diffusion_finetuning_tpu.tree_util import tree_get
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = UNetConfig.tiny()
+    unet = UNet2DConditionModel(cfg)
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.ones((1, 77, cfg.cross_attention_dim)),
+    )["params"]
+    return cfg, unet, params
+
+
+def test_conv_targets_match_param_shapes(tiny):
+    cfg, _, params = tiny
+    targets = unet_conv_lora_targets(cfg)
+    assert targets, "no conv targets enumerated"
+    for t in targets:
+        k = tree_get(params, t.path)["kernel"]  # flax (kh, kw, in, out)
+        assert tuple(k.shape[:2]) == t.kernel_size, t.path
+        assert k.shape[2] == t.in_features, (t.path, k.shape)
+        assert k.shape[3] == t.out_features, (t.path, k.shape)
+
+
+def test_conv_targets_match_sd15_param_count():
+    cfg = UNetConfig.sd15()
+    targets = unet_conv_lora_targets(cfg)
+    # SD1.5: 22 resnets; each has conv1+conv2, shortcut only when cin != cout
+    n_res = len([t for t in targets if t.path[1] == "conv1"])
+    assert n_res == 22
+    assert all(t.ancestor == "ResnetBlock2D" for t in targets)
+
+
+def test_conv_lora_forward_effect_and_scale(tiny):
+    cfg, unet, params = tiny
+    targets = L.filter_targets(
+        unet_all_lora_targets(cfg), L.UNET_EXTENDED_TARGET_REPLACE
+    )
+    assert any(t.is_conv for t in targets) and any(not t.is_conv for t in targets)
+    tree = L.inject_trainable_lora(targets, jax.random.PRNGKey(1), r=2)
+
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.ones((1, 77, cfg.cross_attention_dim))
+    base = unet.apply({"params": params}, x, t, ctx)
+    # ups start at zero: identical output
+    out0 = unet.apply({"params": params, "lora": tree}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(base), atol=1e-6)
+
+    # nonzero conv ups change the output
+    def bump(leaf_tree):
+        out = leaf_tree
+        for tt in targets:
+            if tt.is_conv:
+                leaf = dict(tree_get(out, tt.path))
+                leaf["up"] = jnp.ones_like(leaf["up"]) * 0.05
+                from diffusion_finetuning_tpu.tree_util import tree_set
+
+                out = tree_set(out, tt.path, leaf)
+        return out
+
+    tree2 = bump(tree)
+    out1 = unet.apply({"params": params, "lora": tree2}, x, t, ctx)
+    assert np.abs(np.asarray(out1) - np.asarray(base)).max() > 1e-4
+
+    # scale 0 restores baseline
+    tree3 = L.tune_lora_scale(tree2, 0.0)
+    out2 = unet.apply({"params": params, "lora": tree3}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(base), atol=1e-6)
+
+
+def test_conv_weight_apply_matches_runtime(tiny):
+    """Permanent merge == runtime LoRA for convs."""
+    cfg, unet, params = tiny
+    conv_targets = unet_conv_lora_targets(cfg)[:3]
+    rng = np.random.default_rng(0)
+    flat = []
+    for t in conv_targets:
+        flat.append(rng.standard_normal(
+            (t.out_features, 2, 1, 1)).astype(np.float32) * 0.1)
+        flat.append(rng.standard_normal(
+            (2, t.in_features, *t.kernel_size)).astype(np.float32) * 0.1)
+
+    tree = L.flat_to_lora_tree(flat, conv_targets)
+    merged = L.weight_apply_lora(params, flat, conv_targets, alpha=1.0)
+
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.ones((1, 77, cfg.cross_attention_dim))
+    out_rt = unet.apply({"params": params, "lora": tree}, x, t, ctx)
+    out_mg = unet.apply({"params": merged}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_rt), np.asarray(out_mg),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_lora_safetensors_roundtrip(tiny, tmp_path):
+    cfg, _, _ = tiny
+    targets = L.filter_targets(
+        unet_all_lora_targets(cfg), L.UNET_EXTENDED_TARGET_REPLACE
+    )
+    tree = L.inject_trainable_lora(targets, jax.random.PRNGKey(2), r=2)
+    path = str(tmp_path / "conv_lora.safetensors")
+    L.save_safeloras_with_embeds(
+        {"unet": (tree, targets, L.UNET_EXTENDED_TARGET_REPLACE)}, None, path
+    )
+    from diffusion_finetuning_tpu.io import safetensors_io
+
+    tensors, metadata = safetensors_io.read_safetensors(path)
+    loras = L.parse_safeloras(tensors, metadata)
+    flat, ranks, target = loras["unet"]
+    assert "ResnetBlock2D" in target
+    assert ranks == [2] * len(targets)
+    back = L.flat_to_lora_tree(flat, targets)
+    for t in targets:
+        a = tree_get(tree, t.path)
+        b = tree_get(back, t.path)
+        np.testing.assert_array_equal(np.asarray(a["up"]), np.asarray(b["up"]))
+        np.testing.assert_array_equal(np.asarray(a["down"]), np.asarray(b["down"]))
+
+
+def test_conv_lora_grads_flow(tiny):
+    cfg, unet, params = tiny
+    conv_targets = unet_conv_lora_targets(cfg)[:2]
+    tree = L.inject_trainable_lora(conv_targets, jax.random.PRNGKey(3), r=1)
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.ones((1, 77, cfg.cross_attention_dim))
+
+    def loss(lora_tree):
+        out = unet.apply({"params": params, "lora": lora_tree}, x, t, ctx)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(tree)
+    up_g = tree_get(g, conv_targets[0].path)["up"]
+    assert float(jnp.abs(up_g).max()) > 0
