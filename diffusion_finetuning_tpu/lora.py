@@ -382,8 +382,13 @@ def weight_apply_lora(
         layer = dict(tree_get(params, t.path))
         kernel = layer["kernel"]
         if t.is_conv:
+            # normalize 2-D rank factors like flat_to_lora_tree does
+            if up.ndim == 4:
+                up = up[:, :, 0, 0]
+            if down.ndim == 2:
+                down = down.reshape(down.shape[0], t.in_features, *t.kernel_size)
             # torch conv delta (out,in,kh,kw) -> flax (kh,kw,in,out)
-            dt = np.einsum("or,rikl->oikl", up[:, :, 0, 0], down)
+            dt = np.einsum("or,rikl->oikl", up, down)
             delta = jnp.asarray(dt.transpose(2, 3, 1, 0), dtype=kernel.dtype)
         else:
             delta = jnp.asarray((up @ down).T, dtype=kernel.dtype)

@@ -31,7 +31,7 @@ from ..models.clip_text import (
     text_encoder_lora_targets,
 )
 from ..models.schedulers import DDIMScheduler, PNDMScheduler, SchedulerConfig
-from ..models.unet import UNet2DConditionModel, UNetConfig, unet_lora_targets
+from ..models.unet import UNet2DConditionModel, UNetConfig
 from ..models.vae import SCALING_FACTOR, AutoencoderKL, VAEConfig
 from ..data.tokenizer import CLIPTokenizer
 
@@ -179,9 +179,21 @@ class StableDiffusionPipeline:
             tokenizer, sched, dtype=dtype,
         )
 
+    # -- per-instance jit cache ---------------------------------------------
+    # (NOT functools.lru_cache on methods: that stores `self` in class-level
+    # state and pins multi-GB param trees after the pipeline is discarded)
+    def _cached(self, key, builder):
+        cache = self.__dict__.setdefault("_fn_cache", {})
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     # -- text encoding ------------------------------------------------------
-    @functools.lru_cache(maxsize=4)
     def _encode_fn(self, with_lora: bool):
+        return self._cached(("encode", with_lora),
+                            lambda: self._build_encode_fn(with_lora))
+
+    def _build_encode_fn(self, with_lora: bool):
         # jitted: unjitted op-by-op dispatch is the dominant latency on a
         # remote TPU (each op is an RPC); params/lora are runtime args so
         # TI row edits and LoRA swaps never recompile
@@ -206,10 +218,13 @@ class StableDiffusionPipeline:
         return fn(self.text_params, self.text_encoder_lora, jnp.asarray(ids))
 
     # -- compiled denoise loop ---------------------------------------------
-    @functools.lru_cache(maxsize=8)
-    def _denoise_fn(self, num_steps: int, height: int, width: int,
-                    scheduler: str, batch: int, latents_given: bool,
-                    text_lora_given: bool = False):
+    def _denoise_fn(self, *key):
+        return self._cached(("denoise",) + key,
+                            lambda: self._build_denoise_fn(*key))
+
+    def _build_denoise_fn(self, num_steps: int, height: int, width: int,
+                          scheduler: str, batch: int, latents_mode: str,
+                          text_lora_given: bool = False):
         """Everything device-side lives in ONE jit: text encoding (CFG pair),
         initial-latents RNG, the denoise scan, VAE decode, and uint8
         postprocess — a remote TPU pays per-dispatch RPC latency, so the
@@ -236,16 +251,22 @@ class StableDiffusionPipeline:
         compute_dtype = self.dtype
 
         def run(unet_params, vae_params, text_params, text_lora, unet_lora,
-                lat_or_key, input_ids, guidance_scale):
+                lat_src, input_ids, guidance_scale):
             # input_ids: (2B, 77) = [uncond; cond]
             text_vars = {"params": text_params}
             if text_lora_given:
                 text_vars["lora"] = text_lora
             context = text_encoder.apply(text_vars, input_ids).astype(compute_dtype)
-            if latents_given:
-                latents = lat_or_key
-            else:
-                latents = jax.random.normal(lat_or_key, lat_shape, jnp.float32)
+            if latents_mode == "given":
+                latents = lat_src
+            elif latents_mode == "key":
+                latents = jax.random.normal(lat_src, lat_shape, jnp.float32)
+            else:  # "seeds": per-sample deterministic latents (serving)
+                base = jax.random.PRNGKey(0)
+                latents = jax.vmap(
+                    lambda s: jax.random.normal(
+                        jax.random.fold_in(base, s), lat_shape[1:], jnp.float32)
+                )(lat_src)
             variables = {"params": unet_params}
             if unet_lora is not None:
                 variables["lora"] = unet_lora
@@ -296,19 +317,31 @@ class StableDiffusionPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         rng: Optional[jax.Array] = None,
-        seed: int = 0,
+        seed: Union[int, Sequence[int]] = 0,
         scheduler: str = "ddim",
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "pil",
     ):
+        """``seed`` may be a per-prompt sequence (serving batches coalesce
+        requests with different seeds); an int seeds element i with
+        ``seed + i``.  Passing ``rng`` uses one key for the whole batch."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         negs = (
             [negative_prompt] * len(prompts)
             if isinstance(negative_prompt, str)
             else list(negative_prompt)
         )
-        if rng is None:
-            rng = jax.random.PRNGKey(seed)
+        b = len(prompts)
+
+        if latents is not None:
+            mode, lat_src = "given", latents
+        elif rng is not None:
+            mode, lat_src = "key", rng
+        else:
+            seeds = ([seed + i for i in range(b)] if isinstance(seed, int)
+                     else list(seed))
+            assert len(seeds) == b, "one seed per prompt"
+            mode, lat_src = "seeds", jnp.asarray(seeds, jnp.int32)
 
         # tokenize [uncond; cond] on host; text encoding runs inside the jit
         ids = self.tokenizer(
@@ -316,22 +349,24 @@ class StableDiffusionPipeline:
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )["input_ids"]
 
-        b = len(prompts)
         fn = self._denoise_fn(
             num_inference_steps, height, width, scheduler, b,
-            latents is not None, self.text_encoder_lora is not None,
+            mode, self.text_encoder_lora is not None,
         )
         images = fn(
             self.unet_params, self.vae_params, self.text_params,
             self.text_encoder_lora, self.unet_lora,
-            latents if latents is not None else rng, jnp.asarray(ids),
+            lat_src, jnp.asarray(ids),
             jnp.asarray(guidance_scale, jnp.float32),
         )
         return self._postprocess(images, output_type)
 
-    @functools.lru_cache(maxsize=8)
-    def _img2img_fn(self, num_steps: int, t_start: int, height: int, width: int,
-                    batch: int, text_lora_given: bool):
+    def _img2img_fn(self, *key):
+        return self._cached(("img2img",) + key,
+                            lambda: self._build_img2img_fn(*key))
+
+    def _build_img2img_fn(self, num_steps: int, t_start: int, height: int,
+                          width: int, batch: int, text_lora_given: bool):
         """One jit for the whole img2img call: VAE encode + forward noising +
         text encode + partial denoise scan + decode + uint8 postprocess."""
         from ..models.schedulers import DDIMScheduler, DDPMScheduler

@@ -45,10 +45,13 @@ class GenerationServer:
         self.pipe = pipe
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        # jit compiles per batch size: round batches to this ladder so the
-        # warm set stays small (requests are padded by repetition)
-        self.allowed_batches = sorted(allowed_batches or [1, 2, 4])
+        # jit compiles per batch size: round batches UP to this ladder so the
+        # warm set stays small (requests are padded by repetition); the
+        # ladder always contains max_batch so rounding never under-shoots
+        self.allowed_batches = sorted(set(allowed_batches or [1, 2, 4])
+                                      | {max_batch})
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._carry: Optional[_Request] = None  # head of the next shape class
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -57,6 +60,8 @@ class GenerationServer:
     def submit(self, prompt: str, negative_prompt: str = "", height: int = 512,
                width: int = 512, steps: int = 30, guidance_scale: float = 7.5,
                scheduler: str = "dpm", seed: int = 0) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("GenerationServer is closed")
         req = _Request(prompt, negative_prompt, height, width, steps,
                        guidance_scale, scheduler, seed)
         self._q.put(req)
@@ -67,17 +72,30 @@ class GenerationServer:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=30)
+        # fail anything still pending so callers never block forever
+        pending = [self._carry] if self._carry else []
+        self._carry = None
+        while True:
+            try:
+                pending.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for r in pending:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("server closed"))
 
     # -- worker --------------------------------------------------------------
     def _collect(self) -> List[_Request]:
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
-        deadline = threading.Event()
-        deadline.wait(self.max_wait_s)  # small coalescing window
+        self._stop.wait(self.max_wait_s)  # small coalescing window
         while len(batch) < self.max_batch:
             try:
                 nxt = self._q.get_nowait()
@@ -86,7 +104,9 @@ class GenerationServer:
             if nxt.batch_key() == first.batch_key():
                 batch.append(nxt)
             else:
-                self._q.put(nxt)  # different shape class: next round
+                # head of the NEXT batch (not requeued: a steady stream of
+                # the current shape class must not starve it)
+                self._carry = nxt
                 break
         return batch
 
@@ -106,12 +126,14 @@ class GenerationServer:
             nb = self._rounded(n)
             prompts = [r.prompt for r in batch] + [r0.prompt] * (nb - n)
             negs = [r.negative_prompt for r in batch] + [r0.negative_prompt] * (nb - n)
+            seeds = [r.seed for r in batch] + [r0.seed] * (nb - n)
             try:
                 images = self.pipe(
                     prompts, negative_prompt=negs, height=r0.height,
                     width=r0.width, num_inference_steps=r0.steps,
                     guidance_scale=r0.guidance_scale, scheduler=r0.scheduler,
-                    seed=r0.seed, output_type="pil",
+                    seed=seeds,  # per-request seeds honored inside the jit
+                    output_type="pil",
                 )
                 for r, img in zip(batch, images[:n]):
                     r.future.set_result(img)

@@ -60,7 +60,9 @@ def serve(model_dir: str, lora: str = None, port: int = 8000,
                 self.end_headers()
                 self.wfile.write(data)
             except Exception as e:  # pragma: no cover
-                self.send_error(500, str(e))
+                # keep the status line protocol-clean; detail goes in the body
+                detail = " ".join(str(e).split())[:500]
+                self.send_error(500, "generation failed", detail)
 
         def log_message(self, fmt, *args):
             print(f"[serve] {fmt % args}")

@@ -45,3 +45,30 @@ def test_server_propagates_errors(pipe):
     with pytest.raises(Exception):
         fut.result(timeout=120)
     server.close()
+
+
+def test_server_per_request_seeds_differ(pipe):
+    """Coalesced requests with different seeds must get different images."""
+    server = GenerationServer(pipe, max_batch=4, max_wait_ms=200)
+    kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+    f1 = server.submit("same prompt", seed=1, **kw)
+    f2 = server.submit("same prompt", seed=2, **kw)
+    f3 = server.submit("same prompt", seed=1, **kw)
+    a, b, c = (np.asarray(f.result(timeout=180)) for f in (f1, f2, f3))
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0  # different seeds
+    np.testing.assert_array_equal(a, c)  # same seed reproducible
+    server.close()
+
+
+def test_server_close_fails_pending(pipe):
+    server = GenerationServer(pipe, max_batch=2, max_wait_ms=10)
+    server._stop.set()  # freeze worker loop exit
+    fut = None
+    try:
+        fut = server.submit("x", height=16, width=16, steps=1)
+    except RuntimeError:
+        fut = None  # submit-after-close is also acceptable behavior
+    server.close()
+    if fut is not None:
+        with pytest.raises(Exception):
+            fut.result(timeout=5)
