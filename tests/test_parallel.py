@@ -1,0 +1,71 @@
+"""Mesh utilities: DP batch sharding and FSDP param sharding must not
+change numerics vs single-device execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+
+
+def _setup(n_data, n_fsdp):
+    devices = jax.devices()
+    need = n_data * n_fsdp
+    if len(devices) < need:
+        pytest.skip(f"needs {need} devices")
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_fsdp),
+                ("data", "fsdp"))
+
+
+def test_fsdp_shardings_select_large_divisible_leaves():
+    mesh = _setup(2, 4)
+    tree = {
+        "big": jnp.zeros((8, 1024)),       # dim0 divisible by 4 -> sharded
+        "odd": jnp.zeros((7, 129)),        # nothing divisible -> replicated
+        "small": jnp.zeros((4,)),          # below min_size -> replicated
+    }
+    sh = mesh_lib.fsdp_shardings(mesh, tree, min_size=128)
+    assert sh["big"].spec != P()
+    assert sh["odd"].spec == P()
+    assert sh["small"].spec == P()
+
+
+def test_sharded_train_math_matches_replicated():
+    """A toy grad step over (data x fsdp) == the single-device result."""
+    mesh = _setup(4, 2)
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((256, 128)),
+                    jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((8, 256)),
+                    jnp.float32)
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    # single device reference
+    ref = jax.grad(loss)(w, x)
+
+    w_sh = mesh_lib.fsdp_shardings(mesh, {"w": w}, min_size=128)["w"]
+    assert w_sh.spec != P()
+    data = NamedSharding(mesh, P("data"))
+    g = jax.jit(jax.grad(loss), in_shardings=(w_sh, data),
+                out_shardings=w_sh)(jax.device_put(w, w_sh),
+                                    jax.device_put(x, data))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shard_batch_and_replicate():
+    mesh = _setup(8, 1)
+    batch = {"pixel_values": np.zeros((8, 4, 4, 3), np.float32),
+             "input_ids": np.zeros((8, 77), np.int32)}
+    out = mesh_lib.shard_batch(batch, mesh)
+    assert out["pixel_values"].sharding.spec == P("data")
+    tree = mesh_lib.replicate({"w": jnp.ones((3,))}, mesh)
+    assert tree["w"].sharding.spec == P()
+
+
+def test_local_batch_size_and_main_process():
+    assert mesh_lib.local_batch_size(8) == 8  # single process here
+    assert mesh_lib.is_main_process()
