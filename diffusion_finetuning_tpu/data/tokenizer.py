@@ -53,12 +53,21 @@ def _whitespace_clean(text: str) -> str:
     return text.strip()
 
 
-_PAT = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-    if False
-    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-    re.IGNORECASE,
-)
+# CLIP's word pattern needs the \p{L}/\p{N} Unicode classes (third-party
+# `regex` module); fall back to ASCII classes when it is unavailable —
+# accented/non-Latin prompts then tokenize differently from HF.
+try:
+    import regex as _regex
+
+    _PAT = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _PAT = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+        re.IGNORECASE,
+    )
 
 
 class CLIPTokenizer:
@@ -178,8 +187,10 @@ class CLIPTokenizer:
 
     def _tokenize_text(self, text: str) -> List[int]:
         ids: List[int] = []
-        text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
-        # split out added tokens first (placeholder tokens like <s1>)
+        text = _whitespace_clean(html.unescape(html.unescape(text)))
+        # split out added tokens BEFORE lowercasing — HF matches added
+        # tokens case-sensitively on the raw text (so <TOK> placeholders
+        # work); only the remaining chunks get CLIP's lowercase treatment
         if self.added_tokens:
             pattern = "(" + "|".join(re.escape(t) for t in
                                      sorted(self.added_tokens, key=len, reverse=True)) + ")"
@@ -192,7 +203,8 @@ class CLIPTokenizer:
             if chunk in self.added_tokens:
                 ids.append(self.added_tokens[chunk])
                 continue
-            for token in re.findall(_PAT, chunk):
+            chunk = chunk.lower()
+            for token in _PAT.findall(chunk):
                 token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
                 ids.extend(self.encoder[t] for t in self._bpe(token).split(" ")
                            if t in self.encoder)

@@ -127,6 +127,16 @@ def _rebuild_tensor(storage, storage_offset, size, stride):
 def _materialize(storage: "_LazyStorage", offset: int, size, stride) -> TorchTensor:
     dtype = storage.dtype
     buf = storage.data()
+    size_t = tuple(int(s) for s in size)
+    if len(buf) == 0:
+        # first pass of the legacy two-pass load: storage bytes not read yet
+        return _as_tensor(np.zeros(size_t, dtype=dtype))
+    needed = (int(offset) + int(np.prod(size_t, dtype=np.int64) or 1)) * dtype.itemsize
+    if len(buf) < min(needed, storage.nbytes):
+        raise ValueError(
+            f"storage {storage.storage_name} truncated: "
+            f"{len(buf)} bytes < {needed} required"
+        )
     flat = np.frombuffer(buf, dtype=dtype)
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
@@ -200,10 +210,11 @@ class _TorchUnpickler(pickle.Unpickler):
         raise pickle.UnpicklingError(f"refusing to load global {module}.{name}")
 
     def persistent_load(self, pid):
-        # pid = ('storage', StorageTypeTag, key, location, numel)
-        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+        # pid = ('storage', StorageTypeTag, key, location, numel[, view_md])
+        # — the legacy (torch<1.6) writer appends view metadata as a 6th item
+        if not (isinstance(pid, tuple) and len(pid) >= 5 and pid[0] == "storage"):
             raise pickle.UnpicklingError(f"unexpected persistent id {pid!r}")
-        _, storage_type, key, _location, numel = pid
+        _, storage_type, key, _location, numel = pid[:5]
         name = storage_type.name if isinstance(storage_type, _StorageTypeTag) else str(storage_type)
         dtype = _STORAGE_DTYPES[name]
         return self._load_storage(str(key), name, dtype, int(numel))
@@ -240,23 +251,29 @@ def _load_legacy(fobj: BinaryIO) -> Any:
     _protocol = pickle.Unpickler(fobj).load()
     _sys_info = pickle.Unpickler(fobj).load()
 
+    # The legacy layout puts storage bytes AFTER the payload pickle, but
+    # tensors materialize DURING unpickling — so: pass 1 unpickles with
+    # empty storages (tensors come back as zero placeholders) purely to
+    # drive the key/byte-section reads, then pass 2 re-unpickles the same
+    # payload with the storage bytes in place.
     storages: Dict[str, _LazyStorage] = {}
-    deferred: List[Tuple[str, str, np.dtype, int]] = []
 
     def load_storage(key, name, dtype, numel):
         if key not in storages:
             storages[key] = _LazyStorage(name, dtype, numel * dtype.itemsize, lambda: b"")
-            deferred.append((key, name, dtype, numel))
         return storages[key]
 
-    result = _TorchUnpickler(fobj, load_storage).load()
+    payload_pos = fobj.tell()
+    _TorchUnpickler(fobj, load_storage).load()  # pass 1: discover storages
     keys = pickle.Unpickler(fobj).load()
     for key in keys:
         st = storages[str(key)]
         (numel,) = struct.unpack("<q", fobj.read(8))
         raw = fobj.read(numel * st.dtype.itemsize)
         st._data = raw
-    return result
+
+    fobj.seek(payload_pos)
+    return _TorchUnpickler(fobj, load_storage).load()  # pass 2: real data
 
 
 def load(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Any:

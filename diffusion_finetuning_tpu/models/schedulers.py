@@ -241,19 +241,17 @@ class PNDMScheduler:
         counter = state["counter"]
         prev_t = timestep - stride
 
-        # convert v-pred to eps if needed
-        a_t = self.alphas_cumprod[timestep]
-        if self.config.prediction_type == "v_prediction":
-            eps = jnp.sqrt(a_t) * model_output + jnp.sqrt(1.0 - a_t) * sample
-        else:
-            eps = model_output
+        # raw model outputs go into the history; for v-prediction the
+        # combined multistep output is converted ONCE inside _prev_sample at
+        # the adjusted timestep with cur_sample (diffusers PNDM semantics)
+        eps = model_output
 
         # second "step" re-evaluates at the same t (counter==1): use midpoint
         prev_t = jnp.where(counter == 1, timestep, prev_t)
         timestep = jnp.where(counter == 1, timestep + stride, timestep)
 
         ets = state["ets"]
-        push = jnp.logical_or(counter != 1, counter == 0)
+        push = counter != 1
         ets = jnp.where(
             push,
             jnp.concatenate([ets[1:], eps[None]], axis=0),
@@ -292,6 +290,9 @@ class PNDMScheduler:
         a_prev = jnp.where(
             prev_t >= 0, self.alphas_cumprod[jnp.maximum(prev_t, 0)], self.final_alpha_cumprod
         )
+        if self.config.prediction_type == "v_prediction":
+            # combined v -> eps at the adjusted timestep with this sample
+            eps = jnp.sqrt(a_t) * eps + jnp.sqrt(1.0 - a_t) * sample
         # PNDM eq (9): x_prev = (a_prev/a_t)^0.5 x - (a_prev - a_t) eps /
         #   (a_t^0.5 ((a_prev a_t)^0.5 + ((1-a_prev) a_t)^0.5 ... ))
         sample_coeff = jnp.sqrt(a_prev / a_t)

@@ -17,6 +17,11 @@ the q-block grid dimension).
 
 All row-statistics (m, l, lse, delta) are kept 2D/3D — TPU vector layouts
 want >=2D shapes with a 128-divisible (or full-array) trailing dim.
+
+Known limit: K/V (and the fp32 dK/dV accumulators in backward) use
+whole-sequence BlockSpecs resident in VMEM, which caps the usable KV length
+(~8k at head dim 128 for the backward on a 16MB-VMEM core).  SD workloads
+top out at S=4096; streaming KV via manual DMA would lift the cap.
 """
 
 from __future__ import annotations

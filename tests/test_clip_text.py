@@ -128,3 +128,23 @@ def test_resize_token_embeddings(tiny_pair):
     np.testing.assert_array_equal(
         np.asarray(emb[: cfg.vocab_size]),
         np.asarray(params["token_embedding"]["embedding"]))
+
+
+def test_tokenizer_uppercase_placeholder_matched():
+    """Added tokens are matched case-sensitively on raw text (HF semantics);
+    lowercasing must not hide an uppercase placeholder."""
+    from diffusion_finetuning_tpu.data.tokenizer import CLIPTokenizer
+
+    tok = CLIPTokenizer.tiny(["photo"])
+    assert tok.add_tokens("<TOK>") == 1
+    tid = tok.convert_tokens_to_ids("<TOK>")
+    ids = tok("a photo of <TOK>")["input_ids"]
+    assert tid in ids
+
+
+def test_tokenizer_unicode_word_pattern():
+    """With the regex module present, accented words stay one \\p{L}+ chunk."""
+    from diffusion_finetuning_tpu.data import tokenizer as tkz
+
+    m = tkz._PAT.findall("café")
+    assert m[0] == "café" or len(m) == 1

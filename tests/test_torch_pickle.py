@@ -84,3 +84,26 @@ def test_roundtrip_self(tmp_path):
     assert len(back) == 6
     for a, b in zip(flat, back):
         np.testing.assert_array_equal(a, b)
+
+
+def test_legacy_format_loads_real_values(tmp_path):
+    """torch<1.6 sequential layout (written by REAL torch with
+    _use_new_zipfile_serialization=False): storage bytes live AFTER the
+    payload pickle; values must come back exactly (regression: the first
+    implementation materialized tensors from empty buffers)."""
+    import torch
+
+    from diffusion_finetuning_tpu.io import torch_pickle as tp
+
+    w = torch.arange(12, dtype=torch.float32).reshape(3, 4) * 0.5
+    b = torch.tensor([1.5, -2.0], dtype=torch.float16)
+    path = str(tmp_path / "legacy.pt")
+    torch.save({"w": w, "b": b, "items": [w[1], 7]}, path,
+               _use_new_zipfile_serialization=False)
+
+    out = tp.load(path)
+    np.testing.assert_array_equal(np.asarray(out["w"]),
+                                  w.numpy())
+    np.testing.assert_array_equal(np.asarray(out["b"]), b.numpy())
+    np.testing.assert_array_equal(np.asarray(out["items"][0]), w[1].numpy())
+    assert out["items"][1] == 7
