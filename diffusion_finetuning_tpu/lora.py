@@ -223,6 +223,11 @@ def inject_trainable_lora(
     this tree; take gradients with respect to it.
     """
     flat = _load_flat(loras) if loras is not None else None
+    if flat is not None:
+        # warm restart: route through the validating loader (length + shape
+        # checks, conv 2-D/4-D normalization) — identical semantics to the
+        # reference seeding path (lora.py:150-151, 175-177)
+        return flat_to_lora_tree(flat, targets, scale=scale, dtype=dtype)
     tree: Dict[str, Any] = {}
     for i, t in enumerate(targets):
         if r > min(t.in_features, t.out_features):
@@ -230,10 +235,7 @@ def inject_trainable_lora(
                 f"LoRA rank {r} must be less or equal than "
                 f"{min(t.in_features, t.out_features)}"
             )
-        if flat is not None:
-            up = jnp.asarray(np.asarray(flat[2 * i], np.float32), dtype)
-            down = jnp.asarray(np.asarray(flat[2 * i + 1], np.float32), dtype)
-        elif t.is_conv:
+        if t.is_conv:
             rng, key = jax.random.split(rng)
             kh, kw = t.kernel_size
             down = jax.random.normal(key, (r, t.in_features, kh, kw), dtype) / r
@@ -444,10 +446,16 @@ def monkeypatch_or_replace_safeloras(
     tensors, metadata = safeloras
     loras = parse_safeloras(tensors, metadata)
     out: Dict[str, Dict[str, Any]] = {}
+    lora_targets_fn = getattr(models, "lora_targets", None)
     for name, (flat, ranks, target) in loras.items():
+        # only a *missing* model maps to the reference's skip message
+        # (lora.py:546-549); bugs inside lora_targets must propagate
+        if lora_targets_fn is None:
+            print(f"No model provided for {name}, contained in Lora")
+            continue
         try:
-            targets = models.lora_targets(name, set(target))
-        except (AttributeError, KeyError):
+            targets = lora_targets_fn(name, set(target))
+        except KeyError:
             print(f"No model provided for {name}, contained in Lora")
             continue
         tree = flat_to_lora_tree(flat, targets, scale=1.0)

@@ -166,7 +166,9 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 ACT2FN = {
     "quick_gelu": quick_gelu,
-    "gelu": nn.gelu,
+    # exact erf gelu — torch F.gelu default (flax nn.gelu defaults to the
+    # tanh approximation, ~1e-3 off per activation)
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "silu": nn.silu,
     "swish": nn.silu,
     "relu": nn.relu,

@@ -160,7 +160,6 @@ class CrossAttention(nn.Module):
 
     query_dim: int
     heads: int
-    context_dim: Optional[int] = None
     use_flash: Optional[bool] = None
     dtype: Any = jnp.float32
 
@@ -182,7 +181,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = LoRADense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses F.gelu, not the tanh approx
+        return h * jax.nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
@@ -211,7 +211,7 @@ class BasicTransformerBlock(nn.Module):
             name="attn1",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)) + x
         x = CrossAttention(
-            self.dim, self.heads, context_dim=self.context_dim,
+            self.dim, self.heads,
             use_flash=self.use_flash, dtype=self.dtype, name="attn2",
         )(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context) + x
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(

@@ -51,6 +51,8 @@ def save_train_state(
         flat, treedef = jax.tree_util.tree_flatten(to_save)
         np.savez(os.path.join(path, "state.npz"),
                  **{str(i): a for i, a in enumerate(flat)})
+        # saved so restore can detect structure drift (it is compared, not
+        # just informational)
         with open(os.path.join(path, "treedef.txt"), "w") as f:
             f.write(str(treedef))
 
@@ -91,6 +93,16 @@ def restore_train_state(
         data = np.load(os.path.join(path, "state.npz"))
         flat = [data[str(i)] for i in range(len(data.files))]
         treedef = jax.tree_util.tree_structure(to_restore)
+        saved_def_path = os.path.join(path, "treedef.txt")
+        if os.path.exists(saved_def_path):
+            with open(saved_def_path) as f:
+                saved_def = f.read()
+            if saved_def != str(treedef):
+                raise ValueError(
+                    f"checkpoint at {path} has a different state structure "
+                    "than the restore target (optimizer/config drift?); "
+                    "refusing to misassign leaves"
+                )
         restored = jax.tree_util.tree_unflatten(treedef, flat)
     out = dict(restored)
     if "static" in target:

@@ -180,14 +180,19 @@ def adamw8bit(
         def per_leaf(g, st, p):
             g = g.astype(jnp.float32)
             m = _dequantize_blockwise(st["m_q"], st["m_s"], g.shape, g.size)
-            v = _dequantize_blockwise(st["v_q"], st["v_s"], g.shape, g.size)
+            # v is stored in sqrt domain: linear int8 on sqrt(v) keeps small
+            # second moments representable (floor (max/127)^2 of the block
+            # max instead of max/127 — the role bitsandbytes' nonlinear
+            # dynamic map plays); quantizing v linearly zeroes small entries
+            # and explodes their effective LR
+            v = _dequantize_blockwise(st["v_q"], st["v_s"], g.shape, g.size) ** 2
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * g * g
             mhat = m / (1 - b1 ** count.astype(jnp.float32))
             vhat = v / (1 - b2 ** count.astype(jnp.float32))
             upd = -sched_lr * (mhat / (jnp.sqrt(vhat) + eps) + weight_decay * p)
             mq, ms = _quantize_blockwise(m, block)
-            vq, vs = _quantize_blockwise(v, block)
+            vq, vs = _quantize_blockwise(jnp.sqrt(v), block)
             return upd.astype(p.dtype), {"m_q": mq, "m_s": ms, "v_q": vq, "v_s": vs}
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)

@@ -23,6 +23,19 @@ from .loss import loss_step
 from .optim import apply_ti_constraints
 
 
+def _restore_scale_leaves(new_tree, old_tree):
+    """Copy every ``scale`` leaf of LoRA subtrees from old to new."""
+    if isinstance(new_tree, dict):
+        out = {}
+        for k, v in new_tree.items():
+            if k == "scale":
+                out[k] = old_tree[k]
+            else:
+                out[k] = _restore_scale_leaves(v, old_tree[k])
+        return out
+    return new_tree
+
+
 @dataclasses.dataclass
 class TrainablePartition:
     """What is being optimized in a phase.
@@ -66,6 +79,11 @@ def build_train_step(
       opt_state: optax state
       step:      int32
     """
+    if partition.ti and partition.ti_constrained and clip_ti_decay and ti_lr_schedule is None:
+        raise ValueError(
+            "clip_ti_decay needs ti_lr_schedule (lambda = min(1, 100*lr)); "
+            "without it the norm decay would silently be a no-op"
+        )
 
     def trainable_loss(train_params, static, batch, rng):
         text_params = static["text_params"]
@@ -109,7 +127,11 @@ def build_train_step(
         updates, opt_state = optimizer.update(
             grads, state["opt_state"], train_params
         )
-        train_params = optax.apply_updates(train_params, updates)
+        new_params = optax.apply_updates(train_params, updates)
+        # the per-layer LoRA 'scale' leaves are runtime knobs (reference:
+        # a fixed constant, lora.py:44), NOT trainables — restore them so
+        # neither gradients nor AdamW's decoupled weight decay move them
+        train_params = _restore_scale_leaves(new_params, train_params)
 
         if partition.ti and partition.ti_constrained:
             lr = (
