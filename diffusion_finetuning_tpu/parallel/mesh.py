@@ -42,7 +42,6 @@ def make_mesh(
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding over the data axis."""
-    spec = [None] * 1
     return NamedSharding(mesh, P("data"))
 
 
