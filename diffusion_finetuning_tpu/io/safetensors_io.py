@@ -23,7 +23,6 @@ from typing import Any, Dict, List, Mapping, Optional, Sequence, Set, Tuple
 import numpy as np
 
 try:
-    from safetensors.numpy import load_file as _st_load, save_file as _st_save
     from safetensors import safe_open as _st_safe_open
 
     _HAS_SAFETENSORS = True
@@ -88,15 +87,19 @@ def _pure_read(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, str]]:
 
 
 def _pure_write(tensors: Mapping[str, np.ndarray], metadata: Mapping[str, str], path: str) -> None:
+    """Canonical writer, byte-compatible with the safetensors build that
+    produced the reference golden files (``lora_disney.safetensors``):
+    tensor keys lexicographically sorted, data offsets assigned in key
+    order, metadata keys sorted, compact JSON, no header padding."""
     import struct
 
     header: Dict[str, Any] = {}
     if metadata:
-        header["__metadata__"] = dict(metadata)
+        header["__metadata__"] = {k: metadata[k] for k in sorted(metadata)}
     blobs = []
     offset = 0
-    for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr)
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name])
         raw = arr.tobytes()
         header[name] = {
             "dtype": _ST_NAMES[arr.dtype],
@@ -105,9 +108,7 @@ def _pure_write(tensors: Mapping[str, np.ndarray], metadata: Mapping[str, str], 
         }
         blobs.append(raw)
         offset += len(raw)
-    hjson = json.dumps(header).encode("utf-8")
-    pad = (8 - len(hjson) % 8) % 8
-    hjson += b" " * pad
+    hjson = json.dumps(header, separators=(",", ":")).encode("utf-8")
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(hjson)))
         f.write(hjson)
@@ -137,10 +138,10 @@ def write_safetensors(
 ) -> None:
     tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     metadata = dict(metadata or {})
-    if _HAS_SAFETENSORS:
-        _st_save(tensors, path, metadata=metadata or None)
-    else:
-        _pure_write(tensors, metadata, path)
+    # Always write via the canonical pure encoder: installed safetensors
+    # builds vary in metadata ordering and header padding, which breaks the
+    # bit-identical golden round-trip contract (see _pure_write).
+    _pure_write(tensors, metadata, path)
 
 
 # --------------------------------------------------------------------------

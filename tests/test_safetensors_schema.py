@@ -89,3 +89,36 @@ def test_pure_fallback_matches_lib(tmp_path):
     assert m3 == meta
     for k in tensors:
         np.testing.assert_array_equal(tensors[k], t3[k])
+
+
+def test_golden_roundtrip_bit_identical(tmp_path):
+    """parse → write_safeloras must reproduce the golden file BYTE-for-byte
+    (reference writer schema lora.py:228-265 + the safetensors encoding
+    conventions of the build that produced it: sorted keys, sorted
+    metadata, compact JSON, unpadded header)."""
+    tensors, metadata = st.read_safetensors(GOLDEN)
+    loras = st.parse_safeloras(tensors, metadata)
+    embeds = st.parse_safeloras_embeds(tensors, metadata)
+    p = str(tmp_path / "rt.safetensors")
+    st.write_safeloras(loras, p, embeds=embeds)
+    with open(GOLDEN, "rb") as f:
+        want = f.read()
+    with open(p, "rb") as f:
+        got = f.read()
+    assert got == want
+
+
+def test_safetensors_lib_reads_canonical_output(tmp_path):
+    """The installed safetensors lib must read our canonical (unpadded)
+    writer output — interop with reference-side tooling."""
+    import safetensors
+
+    tensors = {"m:0:up": np.ones((4, 2), np.float32),
+               "m:0:down": np.ones((2, 3), np.float32)}
+    meta = {"m": json.dumps(["X"]), "m:0:rank": "2"}
+    p = str(tmp_path / "c.safetensors")
+    st.write_safetensors(tensors, p, meta)
+    with safetensors.safe_open(p, framework="numpy") as f:
+        assert set(f.keys()) == set(tensors)
+        assert f.metadata() == meta
+        np.testing.assert_array_equal(f.get_tensor("m:0:up"), tensors["m:0:up"])
