@@ -12,18 +12,55 @@ All paths accept (B, S, H*D) tensors and fp32-accumulate the softmax.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _FLASH_ENABLED = True
 
+# Per-shape dispatch overrides, the granularity analogue of the reference's
+# per-BasicTransformerBlock toggle (xformers_utils.py:48-70): a probe failure
+# for one (seq, head_dim) disables flash only for the matching call sites.
+# Keys are (seq_len_q, head_dim); ``None`` in a slot matches any value.
+_SHAPE_OVERRIDES: Dict[Tuple[Optional[int], Optional[int]], bool] = {}
+
 
 def set_flash_enabled(enabled: bool) -> None:
     """Global switch mirroring set_use_memory_efficient_attention_xformers."""
     global _FLASH_ENABLED
     _FLASH_ENABLED = enabled
+
+
+def set_flash_override(
+    seq_len_q: Optional[int] = None,
+    head_dim: Optional[int] = None,
+    enabled: Optional[bool] = True,
+) -> None:
+    """Force flash on/off for attention calls matching (seq_len_q, head_dim).
+
+    ``None`` matches any value in that slot.  Most-specific match wins:
+    (sq, d) > (sq, None) > (None, d).  Overrides take precedence over the
+    global switch and the built-in heuristics — this is the per-block
+    granularity of the reference shim (one bad head dim doesn't take flash
+    down everywhere).  ``enabled=None`` removes the override, restoring the
+    default dispatch heuristics for that shape."""
+    key = (seq_len_q, head_dim)
+    if enabled is None:
+        _SHAPE_OVERRIDES.pop(key, None)
+    else:
+        _SHAPE_OVERRIDES[key] = enabled
+
+
+def clear_flash_overrides() -> None:
+    _SHAPE_OVERRIDES.clear()
+
+
+def _override_for(seq_len_q: int, head_dim: int) -> Optional[bool]:
+    for key in ((seq_len_q, head_dim), (seq_len_q, None), (None, head_dim)):
+        if key in _SHAPE_OVERRIDES:
+            return _SHAPE_OVERRIDES[key]
+    return None
 
 
 def flash_supported(seq_len_q: int, seq_len_kv: int, head_dim: int) -> bool:
@@ -33,6 +70,9 @@ def flash_supported(seq_len_q: int, seq_len_kv: int, head_dim: int) -> bool:
     The kernel wants the q sequence to tile by the block size and a head dim
     that is not wastefully padded to the 128-lane width.
     """
+    override = _override_for(seq_len_q, head_dim)
+    if override is not None:
+        return override
     if not _FLASH_ENABLED:
         return False
     if seq_len_q < 256:  # too small to beat the fused XLA path

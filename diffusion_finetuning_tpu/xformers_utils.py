@@ -49,16 +49,39 @@ def test_flash_backwards(size: int) -> bool:
 def set_use_memory_efficient_attention_xformers(
     module_or_config=None, valid: bool = True
 ) -> bool:
-    """Enable/disable the flash-attention path globally (the functional
-    equivalent of walking the module tree in the reference, 42-70).
+    """Enable/disable the flash-attention path (reference xformers shim
+    surface, xformers_utils.py:42-70).
 
-    ``module_or_config`` may be a UNetConfig to derive the head dim for the
-    probe; returns whether flash attention is enabled after the call."""
+    With a UNetConfig, this mirrors the reference's per-BasicTransformerBlock
+    walk: every distinct head dim in the model is probed independently and a
+    per-head-dim dispatch override is recorded (ops.attention), so a probe
+    failure at one block's head dim leaves flash enabled everywhere else.
+    Without a config it falls back to the global switch.
+
+    Returns whether flash attention remains enabled for at least one shape.
+    """
+    cfg = module_or_config
+    if cfg is not None and hasattr(cfg, "block_out_channels"):
+        if not valid:
+            for i, ch in enumerate(cfg.block_out_channels):
+                head_dim = int(ch) // cfg.heads_for_block(i)
+                attention_ops.set_flash_override(
+                    head_dim=head_dim, enabled=False
+                )
+            return False
+        any_ok = False
+        for i, ch in enumerate(cfg.block_out_channels):
+            head_dim = int(ch) // cfg.heads_for_block(i)
+            ok = test_flash_backwards(head_dim)
+            # failure pins this head dim to the XLA path; success restores
+            # the default dispatch heuristics (it must not force flash on
+            # for short sequences that share the head dim)
+            attention_ops.set_flash_override(
+                head_dim=head_dim, enabled=False if not ok else None
+            )
+            any_ok = any_ok or ok
+        return any_ok
     if valid:
-        size = 64
-        if module_or_config is not None and hasattr(module_or_config, "block_out_channels"):
-            cfg = module_or_config
-            size = int(cfg.block_out_channels[0]) // cfg.heads_for_block(0)
-        valid = test_flash_backwards(size)
+        valid = test_flash_backwards(64)
     attention_ops.set_flash_enabled(valid)
     return valid

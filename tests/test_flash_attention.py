@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from diffusion_finetuning_tpu.ops import attention as attention_ops
 from diffusion_finetuning_tpu.ops.attention import xla_attention
 from diffusion_finetuning_tpu.ops.flash_attention import flash_attention
 
@@ -79,3 +80,54 @@ def test_bf16_forward_close():
                           block_q=128, block_kv=128).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+class TestPerShapeOverrides:
+    """Per-(seq, head_dim) dispatch granularity (reference shim disables
+    xformers per BasicTransformerBlock, xformers_utils.py:48-70)."""
+
+    def teardown_method(self):
+        attention_ops.clear_flash_overrides()
+        attention_ops.set_flash_enabled(True)
+
+    def test_head_dim_failure_does_not_disable_globally(self):
+        attention_ops.set_flash_override(head_dim=40, enabled=False)
+        assert not attention_ops.flash_supported(4096, 4096, 40)
+        assert attention_ops.flash_supported(4096, 4096, 80)
+        assert attention_ops.flash_supported(1024, 77, 160)
+
+    def test_most_specific_match_wins(self):
+        attention_ops.set_flash_override(head_dim=40, enabled=False)
+        attention_ops.set_flash_override(seq_len_q=4096, head_dim=40, enabled=True)
+        assert attention_ops.flash_supported(4096, 4096, 40)
+        assert not attention_ops.flash_supported(1024, 1024, 40)
+
+    def test_override_beats_global_switch(self):
+        attention_ops.set_flash_enabled(False)
+        attention_ops.set_flash_override(seq_len_q=4096, head_dim=64, enabled=True)
+        assert attention_ops.flash_supported(4096, 4096, 64)
+        assert not attention_ops.flash_supported(4096, 4096, 80)
+
+    def test_none_clears_override(self):
+        attention_ops.set_flash_override(head_dim=40, enabled=False)
+        attention_ops.set_flash_override(head_dim=40, enabled=None)
+        assert attention_ops.flash_supported(4096, 4096, 40)
+
+    def test_shim_probes_each_head_dim_independently(self, monkeypatch):
+        from diffusion_finetuning_tpu import xformers_utils
+        from diffusion_finetuning_tpu.models.unet import UNetConfig
+
+        cfg = UNetConfig.sd15()  # head dims 40, 80, 160, 160
+        probed = []
+
+        def fake_probe(size):
+            probed.append(size)
+            return size != 40  # pretend head dim 40's backward is broken
+
+        monkeypatch.setattr(xformers_utils, "test_flash_backwards", fake_probe)
+        ok = xformers_utils.set_use_memory_efficient_attention_xformers(cfg)
+        assert ok  # still enabled for the other head dims
+        assert set(probed) == {40, 80, 160}
+        assert not attention_ops.flash_supported(4096, 4096, 40)
+        assert attention_ops.flash_supported(2048, 2048, 80)
+        assert attention_ops.flash_supported(1024, 1024, 160)
