@@ -35,9 +35,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # measured on v5e end-to-end (SD1.5 512^2 50-step txt2img): 512/1024 beats
-# 256/512 by ~5% (1.21 s vs 1.27 s per image)
-DEFAULT_Q_BLOCK = 512
-DEFAULT_KV_BLOCK = 1024
+# 256/512 by ~5% (1.21 s vs 1.27 s per image); env knobs for re-tuning on
+# new hardware without code edits
+import os as _os
+
+DEFAULT_Q_BLOCK = int(_os.environ.get("DFT_FLASH_BLOCK_Q", 512))
+DEFAULT_KV_BLOCK = int(_os.environ.get("DFT_FLASH_BLOCK_KV", 1024))
 NEG_INF = -1e30
 
 

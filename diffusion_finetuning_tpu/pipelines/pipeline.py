@@ -35,6 +35,12 @@ from ..models.unet import UNet2DConditionModel, UNetConfig
 from ..models.vae import SCALING_FACTOR, AutoencoderKL, VAEConfig
 from ..data.tokenizer import CLIPTokenizer
 
+import os as _os
+
+# denoise-scan unroll factor (perf knob; >1 trades compile time / code size
+# for cross-step fusion opportunities)
+_SCAN_UNROLL = int(_os.environ.get("DFT_SCAN_UNROLL", "1"))
+
 
 def apply_learned_embed_in_clip(
     learned_embeds: Dict[str, np.ndarray],
@@ -287,14 +293,16 @@ class StableDiffusionPipeline:
                     x, st = sch.step(eps, t, x, st, num_steps)
                     return (x, st), None
 
-                (latents, _), _ = jax.lax.scan(body, (latents, state), timesteps)
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, state), timesteps, unroll=_SCAN_UNROLL)
             else:
 
                 def body(x, t):
                     eps = unet_eps(x, t)
                     return sch.step(eps, t, x, num_steps), None
 
-                latents, _ = jax.lax.scan(body, latents, timesteps)
+                latents, _ = jax.lax.scan(body, latents, timesteps,
+                                          unroll=_SCAN_UNROLL)
 
             images = self.vae.apply(
                 {"params": vae_params},
@@ -409,7 +417,7 @@ class StableDiffusionPipeline:
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 return sch.step(eps, t, xc, num_steps), None
 
-            latents, _ = jax.lax.scan(body, latents, ts_used)
+            latents, _ = jax.lax.scan(body, latents, ts_used, unroll=_SCAN_UNROLL)
             images = vae.apply(
                 {"params": vae_params},
                 (latents / SCALING_FACTOR).astype(compute_dtype),
