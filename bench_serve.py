@@ -1,0 +1,63 @@
+"""Serving benchmark: batched txt2img throughput through GenerationServer.
+
+Measures sustained images/sec when concurrent requests are coalesced into
+device batches by ``diffusion_finetuning_tpu.serving.GenerationServer``
+(max_batch=4), using the same SD1.5 512^2 50-step LoRA configuration as
+bench.py so the two numbers are directly comparable (bench.py = latency of
+an un-batched request; this = amortized throughput under load).
+
+Random SD1.5-shape weights (no checkpoint download in this environment);
+throughput depends on shapes only.  Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+STEPS = 50
+BATCH = 4
+N_REQUESTS = 16
+
+
+def main():
+    from bench import build_pipe
+    from diffusion_finetuning_tpu.serving import GenerationServer
+
+    pipe = build_pipe()
+    server = GenerationServer(pipe, max_batch=BATCH, max_wait_ms=50.0,
+                              allowed_batches=[BATCH])
+    kwargs = dict(height=512, width=512, steps=STEPS, scheduler="ddim")
+
+    # warmup: compile the batch-4 executable once
+    futs = [server.submit(f"a photo of sks person {i}", seed=i, **kwargs)
+            for i in range(BATCH)]
+    for f in futs:
+        f.result()
+
+    t0 = time.perf_counter()
+    futs = [server.submit(f"a photo of sks person {i}", seed=i, **kwargs)
+            for i in range(N_REQUESTS)]
+    for f in futs:
+        f.result()
+    elapsed = time.perf_counter() - t0
+    server.close()
+
+    imgs_per_sec = N_REQUESTS / elapsed
+    # north star is <=2 s/image single-request; express batched throughput
+    # against the same bar (0.5 img/s)
+    print(json.dumps({
+        "metric": "sd15_512_50step_lora_txt2img_serving_batch4",
+        "value": round(imgs_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / 0.5, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

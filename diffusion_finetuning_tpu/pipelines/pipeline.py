@@ -145,6 +145,35 @@ class StableDiffusionPipeline:
         """Spatial downscale between images and latents (8 for SD)."""
         return 2 ** (len(self.vae_config.block_out_channels) - 1)
 
+    def cast_params(self, params_dtype: Any) -> "StableDiffusionPipeline":
+        """Cast stored float params (and LoRA trees) to ``params_dtype``.
+
+        Inference-only memory/bandwidth optimization: with ``dtype=bfloat16``
+        the models cast weights to bf16 at compute time anyway, so storing
+        them in fp32 just doubles the HBM param traffic of every UNet step.
+        Casting storage to the compute dtype is numerically identical for
+        the forward pass.  Do NOT use on a pipeline whose params are shared
+        with a trainer — training wants fp32 master weights (the trainers
+        keep their own fp32 state; this only affects pipeline storage).
+        Returns self for chaining.
+        """
+        def cast(tree):
+            if tree is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(params_dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        self.unet_params = cast(self.unet_params)
+        self.vae_params = cast(self.vae_params)
+        self.text_params = cast(self.text_params)
+        self.unet_lora = cast(self.unet_lora)
+        self.text_encoder_lora = cast(self.text_encoder_lora)
+        return self
+
     # -- reference-compat model addressing ---------------------------------
     def lora_targets(self, name: str, target_replace: set) -> list:
         if name == "unet":
@@ -162,8 +191,12 @@ class StableDiffusionPipeline:
 
     @classmethod
     def from_pretrained(
-        cls, model_dir: str, dtype: Any = jnp.float32
+        cls, model_dir: str, dtype: Any = jnp.float32,
+        params_dtype: Optional[Any] = None,
     ) -> "StableDiffusionPipeline":
+        """``params_dtype``: optional storage dtype for the loaded weights
+        (e.g. ``jnp.bfloat16`` for serving — halves HBM param traffic; see
+        :meth:`cast_params`).  ``None`` keeps them as loaded (fp32)."""
         comps = hf_loading.load_pipeline_components(model_dir)
         import os
 
@@ -178,12 +211,15 @@ class StableDiffusionPipeline:
             steps_offset=sc.get("steps_offset", 1),
             set_alpha_to_one=sc.get("set_alpha_to_one", False),
         )
-        return cls(
+        pipe = cls(
             comps["unet_config"], comps["unet_params"],
             comps["vae_config"], comps["vae_params"],
             comps["text_config"], comps["text_params"],
             tokenizer, sched, dtype=dtype,
         )
+        if params_dtype is not None:
+            pipe.cast_params(params_dtype)
+        return pipe
 
     # -- per-instance jit cache ---------------------------------------------
     # (NOT functools.lru_cache on methods: that stores `self` in class-level

@@ -24,6 +24,16 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 tests compare against torch: keep matmuls at full precision
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compile cache: keyed on HLO fingerprint, so the many identical
+# tiny-model compiles across test files (model inits, train steps, denoise
+# loops) compile once and replay from disk — both within one run and across
+# runs.  Gitignored; delete tests/.jax_cache to force cold compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"

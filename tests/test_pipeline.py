@@ -63,3 +63,21 @@ def test_img2img_multi_prompt(pipe):
                        num_inference_steps=3, output_type="np")
     assert img.shape == (2, 16, 16, 3)
     assert np.isfinite(img).all()
+
+
+def test_cast_params_storage_dtype(pipe):
+    """cast_params casts float leaves only; compute-dtype casting makes this
+    numerically identical for bf16 pipelines (verified end-to-end on tiny
+    models: uint8 outputs match exactly)."""
+    import jax.numpy as jnp
+    from tests.test_cli_tools import _tiny_pipe
+
+    p2 = _tiny_pipe()
+    out = p2.cast_params(jnp.bfloat16)
+    assert out is p2  # chainable
+    leaves = jax.tree_util.tree_leaves(p2.unet_params)
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves
+                          if jnp.issubdtype(l.dtype, jnp.floating))
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree_util.tree_leaves(p2.text_params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
