@@ -12,12 +12,19 @@ All paths accept (B, S, H*D) tensors and fp32-accumulate the softmax.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _FLASH_ENABLED = True
+
+# Route attention with a KV sequence shorter than this to the XLA path: with
+# tiny KV (cross-attention, S_kv=77) the Pallas grid still runs Sq/block_q
+# programs per batch*head whose fixed overhead dwarfs the small dot, while
+# XLA's fused softmax handles the small score matrix well.
+FLASH_MIN_KV = int(_os.environ.get("DFT_FLASH_MIN_KV", 0))
 
 # Per-shape dispatch overrides, the granularity analogue of the reference's
 # per-BasicTransformerBlock toggle (xformers_utils.py:48-70): a probe failure
@@ -76,6 +83,8 @@ def flash_supported(seq_len_q: int, seq_len_kv: int, head_dim: int) -> bool:
     if not _FLASH_ENABLED:
         return False
     if seq_len_q < 256:  # too small to beat the fused XLA path
+        return False
+    if seq_len_kv < FLASH_MIN_KV:
         return False
     if head_dim > 256:
         return False

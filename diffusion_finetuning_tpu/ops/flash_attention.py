@@ -41,6 +41,10 @@ import os as _os
 
 DEFAULT_Q_BLOCK = int(_os.environ.get("DFT_FLASH_BLOCK_Q", 512))
 DEFAULT_KV_BLOCK = int(_os.environ.get("DFT_FLASH_BLOCK_KV", 1024))
+# Unroll the (static-length) KV loop up to this many iterations so Mosaic can
+# interleave the VPU softmax of block i with the MXU dots of block i+1;
+# fori_loop serializes them on the carried accumulator.
+DEFAULT_KV_UNROLL = int(_os.environ.get("DFT_FLASH_KV_UNROLL", 0))
 NEG_INF = -1e30
 
 
@@ -57,48 +61,63 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, block_kv):
-    q = q_ref[0].astype(jnp.float32)  # (Bq, Dp)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len, block_kv,
+                unroll=0):
+    # Dots run in the INPUT dtype with fp32 accumulation (bf16 inputs hit the
+    # MXU at full rate; upcasting first would force 4-8x slower fp32 passes).
+    q = q_ref[0]  # (Bq, Dp)
     bq, dp = q.shape
     skv_padded = k_ref.shape[1]
     num_kv = skv_padded // block_kv
+    # KV-padding mask is only needed when padding exists (cross-attention);
+    # self-attention sequences tile exactly and skip the per-element VPU work
+    masked = kv_len != skv_padded
 
     def body(i, carry):
         acc, m_i, l_i = carry  # (Bq,Dp), (Bq,1), (Bq,1)
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (Bq, block_kv)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + i * block_kv
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        ) * scale  # (Bq, block_kv) fp32
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + i * block_kv
+            s = jnp.where(col < kv_len, s, NEG_INF)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(s - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
     acc0 = jnp.zeros((bq, dp), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m_f, l_f = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    if 0 < num_kv <= unroll:
+        carry = (acc0, m0, l0)
+        for i in range(num_kv):
+            carry = body(i, carry)
+        acc, m_f, l_f = carry
+    else:
+        acc, m_f, l_f = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
 
     o_ref[0] = (acc / l_f).astype(o_ref.dtype)
     lse_ref[0] = (m_f + jnp.log(l_f)).reshape(1, bq)
 
 
-def _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
+def _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0):
     """q: (BH, Sq, Dp); k/v: (BH, Skv_p, Dp). Returns (out, lse (BH,1,Sq))."""
     bh, sq, dp = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q)
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv,
+        unroll=unroll,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -142,35 +161,38 @@ def _bwd_kernel(
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     bq, dp = q.shape
     lse = lse_ref[0].reshape(bq, 1)
     delta = delta_ref[0].reshape(bq, 1)
     skv_padded = k_ref.shape[1]
     num_kv = skv_padded // block_kv
+    masked = kv_len != skv_padded
 
     dq = jnp.zeros((bq, dp), jnp.float32)
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[0, pl.ds(i * block_kv, block_kv), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + i * block_kv
-        s = jnp.where(col < kv_len, s, NEG_INF)
-        p = jnp.exp(s - lse)  # (Bq, Bk)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1) + i * block_kv
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)  # (Bq, Bk) fp32
+        p_lo = p.astype(v.dtype)
 
         dv_blk = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Bk, Dp)
         dv_ref[0, pl.ds(i * block_kv, block_kv), :] += dv_blk.astype(dv_ref.dtype)
 
         dp_ = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Bq, Bk)
-        ds = p * (dp_ - delta) * scale
+        ds = (p * (dp_ - delta) * scale).astype(q.dtype)
 
         dk_blk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -233,18 +255,18 @@ def _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    out, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0):
+    out, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll)
     return out
 
 
-def _flash_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    out, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+def _flash_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0):
+    out, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, kv_len, block_q, block_kv, interpret, res, do):
+def _flash_bwd(scale, kv_len, block_q, block_kv, interpret, unroll, res, do):
     q, k, v, out, lse = res
     dq, dk, dv = _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret)
     return dq, dk, dv
@@ -262,6 +284,7 @@ def flash_attention(
     block_q: int = DEFAULT_Q_BLOCK,
     block_kv: int = DEFAULT_KV_BLOCK,
     interpret: bool = False,
+    unroll: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, Sq, H*D) x (B, Skv, H*D) -> (B, Sq, H*D), differentiable."""
     B, sq, C = q.shape
@@ -286,6 +309,8 @@ def flash_attention(
     kp = split_pad(k, skv, skv_p)
     vp = split_pad(v, skv, skv_p)
 
-    out = _flash(qp, kp, vp, float(scale), skv, bq, bkv, interpret)
+    if unroll is None:
+        unroll = DEFAULT_KV_UNROLL
+    out = _flash(qp, kp, vp, float(scale), skv, bq, bkv, interpret, int(unroll))
     out = out[:, :sq, :head_dim].reshape(B, heads, sq, head_dim)
     return out.transpose(0, 2, 1, 3).reshape(B, sq, C)

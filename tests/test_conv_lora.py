@@ -28,6 +28,22 @@ def tiny():
     return cfg, unet, params
 
 
+@pytest.fixture(scope="module")
+def apply_jit(tiny):
+    """One jitted apply shared by every test in the module (params and the
+    lora tree are runtime args, so different trees never recompile)."""
+    _, unet, _ = tiny
+
+    @jax.jit
+    def run(params, lora_tree, x, t, ctx):
+        variables = {"params": params}
+        if lora_tree is not None:
+            variables["lora"] = lora_tree
+        return unet.apply(variables, x, t, ctx)
+
+    return run
+
+
 def test_conv_targets_match_param_shapes(tiny):
     cfg, _, params = tiny
     targets = unet_conv_lora_targets(cfg)
@@ -48,7 +64,7 @@ def test_conv_targets_match_sd15_param_count():
     assert all(t.ancestor == "ResnetBlock2D" for t in targets)
 
 
-def test_conv_lora_forward_effect_and_scale(tiny):
+def test_conv_lora_forward_effect_and_scale(tiny, apply_jit):
     cfg, unet, params = tiny
     targets = L.filter_targets(
         unet_all_lora_targets(cfg), L.UNET_EXTENDED_TARGET_REPLACE
@@ -59,9 +75,9 @@ def test_conv_lora_forward_effect_and_scale(tiny):
     x = jnp.ones((1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.ones((1, 77, cfg.cross_attention_dim))
-    base = unet.apply({"params": params}, x, t, ctx)
+    base = apply_jit(params, None, x, t, ctx)
     # ups start at zero: identical output
-    out0 = unet.apply({"params": params, "lora": tree}, x, t, ctx)
+    out0 = apply_jit(params, tree, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(base), atol=1e-6)
 
     # nonzero conv ups change the output
@@ -77,16 +93,16 @@ def test_conv_lora_forward_effect_and_scale(tiny):
         return out
 
     tree2 = bump(tree)
-    out1 = unet.apply({"params": params, "lora": tree2}, x, t, ctx)
+    out1 = apply_jit(params, tree2, x, t, ctx)
     assert np.abs(np.asarray(out1) - np.asarray(base)).max() > 1e-4
 
     # scale 0 restores baseline
     tree3 = L.tune_lora_scale(tree2, 0.0)
-    out2 = unet.apply({"params": params, "lora": tree3}, x, t, ctx)
+    out2 = apply_jit(params, tree3, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(base), atol=1e-6)
 
 
-def test_conv_weight_apply_matches_runtime(tiny):
+def test_conv_weight_apply_matches_runtime(tiny, apply_jit):
     """Permanent merge == runtime LoRA for convs."""
     cfg, unet, params = tiny
     conv_targets = unet_conv_lora_targets(cfg)[:3]
@@ -104,8 +120,8 @@ def test_conv_weight_apply_matches_runtime(tiny):
     x = jnp.ones((1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.ones((1, 77, cfg.cross_attention_dim))
-    out_rt = unet.apply({"params": params, "lora": tree}, x, t, ctx)
-    out_mg = unet.apply({"params": merged}, x, t, ctx)
+    out_rt = apply_jit(params, tree, x, t, ctx)
+    out_mg = apply_jit(merged, None, x, t, ctx)
     np.testing.assert_allclose(np.asarray(out_rt), np.asarray(out_mg),
                                rtol=1e-4, atol=1e-4)
 
@@ -147,6 +163,6 @@ def test_conv_lora_grads_flow(tiny):
         out = unet.apply({"params": params, "lora": lora_tree}, x, t, ctx)
         return jnp.sum(out ** 2)
 
-    g = jax.grad(loss)(tree)
+    g = jax.jit(jax.grad(loss))(tree)
     up_g = tree_get(g, conv_targets[0].path)["up"]
     assert float(jnp.abs(up_g).max()) > 0

@@ -33,7 +33,7 @@ def test_unet_forward_shape(tiny_unet):
     cfg, model, params = tiny_unet
     x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.sample_size, cfg.sample_size, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, cfg.cross_attention_dim))
-    out = model.apply({"params": params}, x, jnp.array([10, 500]), ctx)
+    out = jax.jit(model.apply)({"params": params}, x, jnp.array([10, 500]), ctx)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -50,7 +50,7 @@ def test_unet_jit_and_grad(tiny_unet):
         out = model.apply({"params": params, "lora": lora_tree}, x, jnp.array([3]), ctx)
         return jnp.mean(out**2)
 
-    g = jax.grad(loss_fn)(tree)
+    g = jax.jit(jax.grad(loss_fn))(tree)
     # grads flow to every up and down
     for t in targets:
         leaf = tree_get(g, t.path)
@@ -111,8 +111,8 @@ def test_gradient_checkpointing_same_output():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, cfg.cross_attention_dim))
     params = m1.init(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
-    o1 = m1.apply({"params": params}, x, jnp.array([5]), ctx)
-    o2 = m2.apply({"params": params}, x, jnp.array([5]), ctx)
+    o1 = jax.jit(m1.apply)({"params": params}, x, jnp.array([5]), ctx)
+    o2 = jax.jit(m2.apply)({"params": params}, x, jnp.array([5]), ctx)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
 
@@ -122,11 +122,15 @@ def test_vae_roundtrip_shapes():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
     variables = model.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
     params = variables["params"]
-    post = model.apply({"params": params}, x, method=model.encode)
+    @jax.jit
+    def enc(p, xx, key):
+        post = model.apply({"params": p}, xx, method=model.encode)
+        return post.mean, post.sample(key)
+
+    mean, z = enc(params, x, jax.random.PRNGKey(3))
     factor = 2 ** (len(cfg.block_out_channels) - 1)
-    assert post.mean.shape == (1, 32 // factor, 32 // factor, cfg.latent_channels)
-    z = post.sample(jax.random.PRNGKey(3))
-    rec = model.apply({"params": params}, z, method=model.decode)
+    assert mean.shape == (1, 32 // factor, 32 // factor, cfg.latent_channels)
+    rec = jax.jit(lambda p, zz: model.apply({"params": p}, zz, method=model.decode))(params, z)
     assert rec.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(rec)))
 
