@@ -399,6 +399,53 @@ def weight_apply_lora(
     return new_params
 
 
+def materialize_lora_tree(params: Mapping[str, Any], lora) -> Mapping[str, Any]:
+    """Fold a LoRA variable-collection tree into a params tree on device.
+
+    ``merged.kernel = kernel + scale * delta`` at every LoRA'd layer — the
+    device-side, jit-compatible analogue of :func:`weight_apply_lora`
+    (reference lora.py:410-424), consuming the in-memory ``lora`` collection
+    (leaves ``{up, down, scale}`` mirroring param paths) instead of a flat
+    checkpoint list.  The delta math matches the layers' dynamic path and
+    ``weight_apply_lora``: dense ``(up @ down)^T``; conv 1x1-up composed
+    with the kxk down-conv.
+
+    Serving pipelines use this to run patched models at base-model speed:
+    the per-step rank-r matmuls are MXU-hostile (N=r lanes of 128) and cost
+    ~33 ms per 50-step 512^2 image at rank 4 (measured v5e), while this
+    merge is a one-off millisecond-scale dispatch per LoRA/scale change.
+    """
+    if lora is None:
+        return params
+
+    def walk(p_node, l_node):
+        if isinstance(l_node, Mapping) and "up" in l_node and not isinstance(
+            l_node["up"], Mapping
+        ):
+            up, down, scale = l_node["up"], l_node["down"], l_node["scale"]
+            kernel = p_node["kernel"]
+            up32 = jnp.asarray(up, jnp.float32)
+            down32 = jnp.asarray(down, jnp.float32)
+            if up32.ndim == 4:
+                # conv pair: up (out, r, 1, 1) o down (r, in, kh, kw)
+                # -> flax HWIO delta (kh, kw, in, out)
+                delta = jnp.einsum("or,rikl->klio", up32[:, :, 0, 0], down32)
+            else:
+                # dense pair: (out, r) @ (r, in) -> flax (in, out)
+                delta = (up32 @ down32).T
+            merged = dict(p_node)
+            merged["kernel"] = (
+                jnp.asarray(kernel, jnp.float32) + scale * delta
+            ).astype(kernel.dtype)
+            return merged
+        merged = dict(p_node)
+        for key, child in l_node.items():
+            merged[key] = walk(p_node[key], child)
+        return merged
+
+    return walk(params, lora)
+
+
 def monkeypatch_lora(
     loras: Union[str, Sequence[np.ndarray]],
     targets: Sequence[LoraTarget],

@@ -55,6 +55,32 @@ def test_backward_matches_xla():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("sq,skv,heads,d", [(256, 256, 2, 40), (128, 77, 2, 80)])
+def test_exp2_softmax_matches_xla(sq, skv, heads, d):
+    """Base-2 online softmax (log2e folded into scale) — fwd and bwd."""
+    q, k, v = _mk(1, sq, skv, heads, d, seed=5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, heads, interpret=True,
+                                       block_q=64, block_kv=128,
+                                       exp2=True, unroll=8) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, heads) ** 2)
+
+    out = flash_attention(q, k, v, heads, interpret=True,
+                          block_q=64, block_kv=128, exp2=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_attention(q, k, v, heads)),
+                               atol=2e-5, rtol=2e-5)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_backward_cross_attention_ragged():
     q, k, v = _mk(1, 128, 77, 2, 40, seed=3)
 
@@ -94,7 +120,9 @@ class TestPerShapeOverrides:
         attention_ops.set_flash_override(head_dim=40, enabled=False)
         assert not attention_ops.flash_supported(4096, 4096, 40)
         assert attention_ops.flash_supported(4096, 4096, 80)
-        assert attention_ops.flash_supported(1024, 77, 160)
+        # KV=77 cross-attention routes to XLA by default (measured faster)
+        assert not attention_ops.flash_supported(1024, 77, 160)
+        assert attention_ops.flash_supported(1024, 1024, 160)
 
     def test_most_specific_match_wins(self):
         attention_ops.set_flash_override(head_dim=40, enabled=False)

@@ -58,6 +58,66 @@ def test_lora_changes_output_and_scale_zero_restores(pipe):
     pipe.unet_lora = None
 
 
+def test_materialized_lora_matches_dynamic(pipe):
+    """Serving-mode materialization (kernel += scale*up@down folded once)
+    must generate the same image as the dynamic per-step LoRA path."""
+    from diffusion_finetuning_tpu import lora as L
+
+    targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    rng = np.random.default_rng(7)
+    flat = []
+    for t in targets:
+        flat.append(rng.standard_normal((t.out_features, 2)).astype(np.float32) * 0.2)
+        flat.append(rng.standard_normal((2, t.in_features)).astype(np.float32) * 0.2)
+    pipe.unet_lora = L.monkeypatch_lora(flat, targets)
+    try:
+        pipe.materialize_lora = True
+        merged_img = pipe("a photo", num_inference_steps=2, height=16, width=16,
+                          seed=0, output_type="np")
+        pipe.materialize_lora = False
+        dynamic_img = pipe("a photo", num_inference_steps=2, height=16,
+                           width=16, seed=0, output_type="np")
+    finally:
+        pipe.materialize_lora = True
+        pipe.unet_lora = None
+    np.testing.assert_allclose(merged_img, dynamic_img, atol=2e-2)
+    # uint8-quantized pixels should almost all agree exactly
+    assert (merged_img == dynamic_img).mean() > 0.99
+
+
+def test_materialize_lora_tree_matches_weight_apply_lora(pipe):
+    """Device-side merge == reference-semantics host merge (lora.py:410-424)."""
+    import jax.numpy as jnp
+    from diffusion_finetuning_tpu import lora as L
+
+    # extended targets include conv pairs -> covers both delta layouts
+    targets = pipe.lora_targets("unet", L.UNET_EXTENDED_TARGET_REPLACE)
+    assert any(t.is_conv for t in targets)
+    rng = np.random.default_rng(3)
+    flat = []
+    for t in targets:
+        if t.is_conv:
+            kh, kw = t.kernel_size
+            flat.append(rng.standard_normal(
+                (t.out_features, 2, 1, 1)).astype(np.float32))
+            flat.append(rng.standard_normal(
+                (2, t.in_features, kh, kw)).astype(np.float32))
+        else:
+            flat.append(rng.standard_normal(
+                (t.out_features, 2)).astype(np.float32))
+            flat.append(rng.standard_normal(
+                (2, t.in_features)).astype(np.float32))
+    tree = L.monkeypatch_lora(flat, targets)
+    merged_dev = L.materialize_lora_tree(pipe.unet_params, tree)
+    merged_host = L.weight_apply_lora(pipe.unet_params, flat, targets, alpha=1.0)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-5, rtol=1e-5),
+        merged_dev, merged_host,
+    )
+
+
 def test_img2img_multi_prompt(pipe):
     img = pipe.img2img(["a", "b"], np.zeros((16, 16, 3), np.uint8),
                        num_inference_steps=3, output_type="np")
