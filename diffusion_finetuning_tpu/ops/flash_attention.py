@@ -174,7 +174,7 @@ def _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0,
 
 def _bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref, *, scale, kv_len, block_kv, exp2=False,
+    dq_ref, dk_ref, dv_ref, *, scale, kv_len, block_kv, exp2=False, unroll=0,
 ):
     qi = pl.program_id(1)
 
@@ -228,12 +228,16 @@ def _bwd_kernel(
         )
         return dq
 
-    dq = jax.lax.fori_loop(0, num_kv, body, dq)
+    if 0 < num_kv <= unroll:
+        for i in range(num_kv):
+            dq = body(i, dq)
+    else:
+        dq = jax.lax.fori_loop(0, num_kv, body, dq)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret,
-         exp2=False):
+         exp2=False, unroll=0):
     bh, sq, dp = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q)
@@ -242,7 +246,8 @@ def _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret,
     delta = delta.reshape(bh, 1, sq)
 
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv, exp2=exp2
+        _bwd_kernel, scale=scale, kv_len=kv_len, block_kv=block_kv, exp2=exp2,
+        unroll=unroll,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -298,7 +303,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0,
 def _flash_bwd(scale, kv_len, block_q, block_kv, interpret, unroll, exp2, res, do):
     q, k, v, out, lse = res
     dq, dk, dv = _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv,
-                      interpret, exp2)
+                      interpret, exp2, unroll)
     return dq, dk, dv
 
 

@@ -155,6 +155,11 @@ class StableDiffusionPipeline:
         # dynamic path (e.g. to share an executable with a training loop).
         self.materialize_lora: bool = MATERIALIZE_LORA_DEFAULT
         self._merged_cache: dict = {}
+        # Multi-chip data-parallel generation: when set (via shard_over), the
+        # denoise jit shards the request batch over the mesh's ``data`` axis
+        # and replicates params — XLA places per-chip UNet work and the ICI
+        # transfers; one __call__ drives every chip.
+        self.mesh = None
 
     @property
     def vae_scale_factor(self) -> int:
@@ -247,6 +252,47 @@ class StableDiffusionPipeline:
             cache[key] = builder()
         return cache[key]
 
+    # -- multi-chip data parallelism ---------------------------------------
+    def shard_over(self, mesh) -> "StableDiffusionPipeline":
+        """Distribute generation over a device mesh (data-parallel serving).
+
+        Params replicate to every device now (one transfer, not per call);
+        generation batches must be a multiple of the mesh's ``data`` axis
+        size and are sharded across it inside the jit.  The reference has no
+        multi-device inference story (cli_lora_pti.py:539 pins cuda:0;
+        Accelerate wraps training only) — this is the TPU-native scale-out:
+        mesh + sharding annotations, XLA emits the distribution.  Pass
+        ``mesh=None`` to return to single-device dispatch.  Returns self.
+        """
+        from ..parallel import mesh as mesh_lib
+
+        self.mesh = mesh
+        self.__dict__.pop("_fn_cache", None)  # executables carry shardings
+        self._merged_cache.clear()
+        if mesh is not None:
+            self.unet_params = mesh_lib.replicate(self.unet_params, mesh)
+            self.vae_params = mesh_lib.replicate(self.vae_params, mesh)
+            self.text_params = mesh_lib.replicate(self.text_params, mesh)
+            if self.unet_lora is not None:
+                self.unet_lora = mesh_lib.replicate(self.unet_lora, mesh)
+            if self.text_encoder_lora is not None:
+                self.text_encoder_lora = mesh_lib.replicate(
+                    self.text_encoder_lora, mesh)
+        return self
+
+    def _jit_generation(self, run, latents_mode: str):
+        """jit ``run`` with mesh shardings when distributed (batch args over
+        ``data``, params/scalars replicated), plain jit otherwise."""
+        if self.mesh is None:
+            return jax.jit(run)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        dat = NamedSharding(self.mesh, P("data"))
+        lat_sh = rep if latents_mode == "key" else dat
+        in_sh = (rep, rep, rep, rep, rep, lat_sh, dat, rep)
+        return jax.jit(run, in_shardings=in_sh, out_shardings=dat)
+
     # -- LoRA materialization ----------------------------------------------
     def _merged_params(self, which: str):
         """Params with the LoRA delta folded in, cached per (params, lora)
@@ -338,6 +384,18 @@ class StableDiffusionPipeline:
 
         text_encoder = self.text_encoder
         compute_dtype = self.dtype
+        mesh = self.mesh
+
+        def shard_hint(t):
+            # pin the CFG-doubled batch to the data axis so GSPMD keeps the
+            # big UNet activations batch-sharded (tiny latents/context may
+            # still permute over ICI; that is sub-ms)
+            if mesh is None:
+                return t
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, P("data")))
 
         def run(unet_params, vae_params, text_params, text_lora, unet_lora,
                 lat_src, input_ids, guidance_scale):
@@ -361,9 +419,9 @@ class StableDiffusionPipeline:
                 variables["lora"] = unet_lora
 
             def unet_eps(x, t):
-                x2 = jnp.concatenate([x, x], axis=0)
+                x2 = shard_hint(jnp.concatenate([x, x], axis=0))
                 t2 = jnp.broadcast_to(t, (x2.shape[0],))
-                eps = unet.apply(variables, x2, t2, context)
+                eps = shard_hint(unet.apply(variables, x2, t2, context))
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 return eps_u + guidance_scale * (eps_c - eps_u)
 
@@ -396,7 +454,7 @@ class StableDiffusionPipeline:
             images = jnp.clip(images / 2 + 0.5, 0.0, 1.0)
             return jnp.round(images * 255.0).astype(jnp.uint8)
 
-        return jax.jit(run)
+        return self._jit_generation(run, latents_mode)
 
     # -- generation ---------------------------------------------------------
     def __call__(
@@ -440,6 +498,13 @@ class StableDiffusionPipeline:
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )["input_ids"]
 
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            if b % n != 0:
+                raise ValueError(
+                    f"batch {b} must be a multiple of the mesh data axis ({n});"
+                    " pad the prompt list or use a matching batch size"
+                )
         unet_params, unet_lora, text_params, text_lora = self._generation_params()
         fn = self._denoise_fn(
             num_inference_steps, height, width, scheduler, b,

@@ -50,6 +50,14 @@ class GenerationServer:
         # ladder always contains max_batch so rounding never under-shoots
         self.allowed_batches = sorted(set(allowed_batches or [1, 2, 4])
                                       | {max_batch})
+        # multi-chip pipelines (pipe.shard_over(mesh)) only accept batches
+        # that are multiples of the data axis: round the ladder up to them
+        mesh = getattr(pipe, "mesh", None)
+        if mesh is not None:
+            n = mesh.shape["data"]
+            self.allowed_batches = sorted(
+                {-(-b // n) * n for b in self.allowed_batches})
+            self.max_batch = self.allowed_batches[-1]
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._carry: Optional[_Request] = None  # head of the next shape class
         self._stop = threading.Event()

@@ -125,6 +125,29 @@ def test_img2img_multi_prompt(pipe):
     assert np.isfinite(img).all()
 
 
+def test_sharded_generation_matches_single_device(pipe):
+    """Data-parallel generation over a mesh must produce the same images as
+    single-device dispatch (same per-seed latents, batch sharded over the
+    data axis, params replicated)."""
+    from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    prompts = ["a", "b", "c", "d"]
+    single = pipe(prompts, num_inference_steps=2, height=16, width=16,
+                  seed=0, output_type="np")
+    mesh = mesh_lib.make_mesh(4)
+    try:
+        pipe.shard_over(mesh)
+        sharded = pipe(prompts, num_inference_steps=2, height=16, width=16,
+                       seed=0, output_type="np")
+        with pytest.raises(ValueError):
+            pipe(["a", "b", "c"], num_inference_steps=2, height=16, width=16)
+    finally:
+        pipe.shard_over(None)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_cast_params_storage_dtype(pipe):
     """cast_params casts float leaves only; compute-dtype casting makes this
     numerically identical for bf16 pipelines (verified end-to-end on tiny

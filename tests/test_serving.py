@@ -72,3 +72,30 @@ def test_server_close_fails_pending(pipe):
     if fut is not None:
         with pytest.raises(Exception):
             fut.result(timeout=5)
+
+
+def test_server_over_mesh_rounds_ladder_and_serves(pipe):
+    """Multi-chip serving: a sharded pipeline forces mesh-multiple batch
+    sizes; single requests pad up and still return correct images."""
+    import jax
+    from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = mesh_lib.make_mesh(4)
+    pipe.shard_over(mesh)
+    try:
+        server = GenerationServer(pipe, max_batch=6, max_wait_ms=50,
+                                  allowed_batches=[1, 2, 6])
+        assert server.allowed_batches == [4, 8]
+        assert server.max_batch == 8
+        kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+        img = server.generate("a", **kw)  # 1 request -> padded to batch 4
+        assert img.size == (16, 16)
+        futs = [server.submit(p, seed=i, **kw)
+                for i, p in enumerate("abcde")]
+        imgs = [f.result(timeout=300) for f in futs]
+        assert all(im.size == (16, 16) for im in imgs)
+        server.close()
+    finally:
+        pipe.shard_over(None)
