@@ -3,7 +3,10 @@ chip (BASELINE.md north-star #2: >= 3x A100 steps/sec; an A100 runs the
 reference at roughly 2-3 it/s at 512^2 batch 1).
 
 Random SD1.5-shape weights; jitted full train step (VAE encode + CLIP +
-UNet fwd/bwd + AdamW).  Prints ONE JSON line like bench.py.
+UNet fwd/bwd + AdamW), fused STEPS_PER_DISPATCH steps per device dispatch
+(training_scripts expose the same knob as --steps_per_dispatch; per-step
+dispatch over the remote TPU tunnel costs ~18 ms vs a 57 ms device step).
+Prints ONE JSON line like bench.py.
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_REFERENCE_STEPS_PER_SEC = 2.5  # typical reference DreamBooth-LoRA rate
+STEPS_PER_DISPATCH = 10
 
 
 def main():
@@ -29,7 +33,8 @@ def main():
     from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
     from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
     from diffusion_finetuning_tpu.training.train_step import (
-        TrainablePartition, build_train_step, jit_train_step,
+        TrainablePartition, build_train_step, jit_train_step, multi_step,
+        stack_batches,
     )
 
     dtype = jnp.bfloat16
@@ -72,20 +77,22 @@ def main():
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
-    jitted = jit_train_step(step_fn)
+    k = STEPS_PER_DISPATCH
+    jitted = jit_train_step(multi_step(step_fn, k))
     batch = {
-        "pixel_values": jnp.zeros((1, 512, 512, 3), jnp.float32),
-        "input_ids": jnp.zeros((1, 77), jnp.int32),
+        "pixel_values": np.zeros((1, 512, 512, 3), np.float32),
+        "input_ids": np.zeros((1, 77), np.int32),
     }
+    batches = stack_batches([batch] * k)
 
-    state, m = jitted(state, batch, jax.random.PRNGKey(2))  # compile
+    state, m = jitted(state, batches, jax.random.PRNGKey(2))  # compile
     jax.block_until_ready(m["loss"])
-    n = 30
+    n_dispatch = 3
     t0 = time.perf_counter()
-    for i in range(n):
-        state, m = jitted(state, batch, jax.random.PRNGKey(3 + i))
+    for i in range(n_dispatch):
+        state, m = jitted(state, batches, jax.random.PRNGKey(3 + i))
     jax.block_until_ready(m["loss"])
-    sps = n / (time.perf_counter() - t0)
+    sps = n_dispatch * k / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "dreambooth_rank4_512_train_steps_per_sec",

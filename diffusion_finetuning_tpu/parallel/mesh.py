@@ -49,22 +49,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                spec: Optional[P] = None) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch dim.
 
     The per-host slice contract mirrors the reference's per-rank DataLoader
     sharding (Accelerate prepares a distributed sampler); multi-host setups
     feed each process its slice and this makes the global array.
+
+    ``spec`` overrides the partitioning (default ``P("data")``) — e.g.
+    ``P(None, "data")`` for multi_step batches stacked on a leading steps
+    axis, where the *second* dim is the per-step batch.
     """
-    sharding = data_sharding(mesh)
+    if spec is None:
+        spec = P("data")
+    sharding = NamedSharding(mesh, spec)
+    axis = list(spec).index("data") if "data" in spec else 0
 
     def put(x):
         x = np.asarray(x)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
         # multi-host: every process holds its shard of the global batch
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+        global_shape = list(x.shape)
+        global_shape[axis] *= jax.process_count()
+        return jax.make_array_from_process_local_data(
+            sharding, x, tuple(global_shape))
 
     return jax.tree_util.tree_map(put, batch)
 

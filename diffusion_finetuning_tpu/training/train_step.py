@@ -165,8 +165,41 @@ def build_train_step(
     return step
 
 
+def multi_step(step_fn: Callable, k: int) -> Callable:
+    """Fuse ``k`` train steps into ONE dispatch via ``lax.scan``.
+
+    Per-step Python dispatch costs real wall time on remote/tunneled TPU
+    runtimes (measured ~18 ms/step vs a 57 ms device step on v5e via the
+    axon tunnel — 24% of the step).  Feeding ``k`` prefetched batches
+    stacked on a leading axis amortizes that to 1/k.  The returned function
+    has signature ``(state, batches, rng) -> (state, metrics)`` where every
+    ``batches`` leaf is ``(k, ...)`` and each metrics leaf is stacked
+    ``(k,)``; the rng is split per step, so results are identical to ``k``
+    sequential ``step_fn`` calls with those keys.
+    """
+
+    def fused(state, batches, rng):
+        keys = jax.random.split(rng, k)
+
+        def body(st, xs):
+            b, key = xs
+            return step_fn(st, b, key)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return fused
+
+
+def stack_batches(batches):
+    """Stack a list of host batches along a new leading axis (multi_step
+    input)."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
 def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
-                   state_shardings=None):
+                   state_shardings=None, batch_ndims: int = 1):
     # donate=True invalidates the caller's `state` buffers — including the
     # frozen model params carried in state["static"], which pipelines may
     # still reference.  LoRA/TI state is tiny, so donation is off by default.
@@ -175,13 +208,16 @@ def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
     ``state_shardings`` overrides the state's sharding pytree — pass
     ``{"static": mesh_lib.fsdp_shardings(mesh, static), ...}`` to keep the
     frozen model params ZeRO-3-sharded over an ``fsdp`` mesh axis (XLA
-    all-gathers them at use sites)."""
+    all-gathers them at use sites).  ``batch_ndims=2`` marks a multi_step
+    batch (leading steps axis, batch axis second) so the data axis shards
+    dim 1, not the steps dim."""
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(
+        mesh, P(*([None] * (batch_ndims - 1) + ["data"])))
     state_in = rep if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,

@@ -1,0 +1,116 @@
+"""multi_step fused dispatch == k sequential train steps (bit-for-bit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_finetuning_tpu import lora as lora_lib
+from diffusion_finetuning_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler, SchedulerConfig
+from diffusion_finetuning_tpu.models.unet import (
+    UNet2DConditionModel, UNetConfig, unet_lora_targets,
+)
+from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
+from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
+from diffusion_finetuning_tpu.training.train_step import (
+    TrainablePartition, build_train_step, jit_train_step, multi_step,
+    stack_batches,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
+    unet = UNet2DConditionModel(ucfg)
+    vae = AutoencoderKL(vcfg)
+    text_encoder = CLIPTextModel(tcfg)
+    rng = jax.random.PRNGKey(0)
+    unet_params = unet.init(
+        rng, jnp.zeros((1, 8, 8, ucfg.in_channels)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, ucfg.cross_attention_dim)))["params"]
+    vae_params = vae.init(rng, jnp.zeros((1, 16, 16, 3)), rng)["params"]
+    text_params = text_encoder.init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+    targets = lora_lib.filter_targets(
+        unet_lora_targets(ucfg), lora_lib.DEFAULT_TARGET_REPLACE)
+    unet_lora = lora_lib.inject_trainable_lora(targets, jax.random.PRNGKey(1), r=1)
+    optimizer = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)},
+        lambda tree: {"unet_lora": jax.tree_util.tree_map(
+            lambda _: "unet_lora", tree["unet_lora"])},
+        max_grad_norm=1.0,
+    )
+    step_fn = build_train_step(
+        unet=unet, text_encoder=text_encoder, vae=vae,
+        scheduler=DDPMScheduler(SchedulerConfig()), optimizer=optimizer,
+        partition=TrainablePartition(unet_lora=True),
+    )
+    params = {"unet_lora": unet_lora}
+    emb = text_params["token_embedding"]["embedding"]
+    state = {
+        "params": params,
+        "static": {
+            "unet_params": unet_params, "text_params": text_params,
+            "vae_params": vae_params, "orig_embeddings": emb,
+            "index_updates": jnp.zeros((emb.shape[0],), bool),
+        },
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+    return step_fn, state
+
+
+def _batches(k):
+    rng = np.random.default_rng(0)
+    return [
+        {"pixel_values": rng.standard_normal((1, 16, 16, 3)).astype(np.float32),
+         "input_ids": np.full((1, 77), 2, np.int32)}
+        for _ in range(k)
+    ]
+
+
+def test_multi_step_matches_sequential(setup):
+    step_fn, state = setup
+    k = 3
+    batches = _batches(k)
+    rng = jax.random.PRNGKey(7)
+
+    seq_state = state
+    keys = jax.random.split(rng, k)
+    losses = []
+    jitted = jit_train_step(step_fn)
+    for b, key in zip(batches, keys):
+        seq_state, m = jitted(
+            seq_state, jax.tree_util.tree_map(jnp.asarray, b), key)
+        losses.append(float(m["loss"]))
+
+    fused = jit_train_step(multi_step(step_fn, k))
+    fused_state, ms = fused(state, stack_batches(batches), rng)
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), losses, rtol=2e-5)
+    assert int(fused_state["step"]) == int(seq_state["step"]) == k
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        fused_state["params"], seq_state["params"],
+    )
+
+
+def test_multi_step_on_mesh(setup):
+    """Fused dispatch composes with DP sharding (batch axis = dim 1)."""
+    from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    step_fn, state = setup
+    k = 2
+    batches = [
+        jax.tree_util.tree_map(lambda x: np.concatenate([x, x]), b)
+        for b in _batches(k)
+    ]  # batch size 2 -> shards over 2 devices
+    mesh = mesh_lib.make_mesh(2)
+    fused = jit_train_step(multi_step(step_fn, k), mesh=mesh, batch_ndims=2)
+    st = mesh_lib.replicate(state, mesh)
+    st, ms = fused(st, stack_batches(batches), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(ms["loss"])).all()
+    assert int(st["step"]) == k
