@@ -25,7 +25,6 @@ over the mesh's ``data`` axis when more than one device is present.
 from __future__ import annotations
 
 import itertools
-import math
 import os
 import re
 from typing import List, Optional
@@ -42,7 +41,9 @@ from .models.unet import unet_lora_targets
 from .parallel import mesh as mesh_lib
 from .pipelines.pipeline import StableDiffusionPipeline
 from .training.optim import ParamGroup, lr_schedule, multi_group_optimizer
-from .training.train_step import TrainablePartition, build_train_step, jit_train_step
+from .training.train_step import (
+    FusedDispatcher, TrainablePartition, build_train_step,
+)
 from .utils.cli import Fire
 
 
@@ -187,6 +188,7 @@ def train(
     weight_decay_ti: float = 0.00,
     weight_decay_lora: float = 0.001,
     use_8bit_adam: bool = False,
+    steps_per_dispatch: int = 1,
     device: str = "tpu",
     extra_args: Optional[dict] = None,
     log_wandb: bool = False,
@@ -342,73 +344,82 @@ def train(
             clip_ti_decay=clip_ti_decay, ti_lr_schedule=ti_sched,
             grad_accum_steps=accum,
         )
-        jitted = jit_train_step(step_fn, mesh=mesh)
+        dispatcher = FusedDispatcher(
+            step_fn, spd=max(1, steps_per_dispatch), mesh=mesh)
         if mesh is not None:
             state = mesh_lib.replicate(state, mesh)
 
+        def batch_stream():
+            while True:
+                for batch in loader:
+                    yield batch
+
+        stream = batch_stream()
         global_step = 0
-        for _epoch in range(math.ceil(num_steps / len(loader))):
-            for batch in loader:
-                if mesh is not None:
-                    batch = mesh_lib.shard_batch(batch, mesh)
-                rng, key = jax.random.split(rng)
-                state, metrics = jitted(state, batch, key)
-                global_step += 1
-                if log_wandb:
-                    # device scalar: converting to float here would block on
-                    # every step and serialize host/device
-                    loss_sum = loss_sum + metrics["loss"]
-                if global_step % 50 == 0 or global_step == num_steps:
-                    print(f"{label} step {global_step}/{num_steps} "
-                          f"loss={float(metrics['loss']):.4f}")
-                if global_step % save_steps == 0:
-                    host = jax.device_get(
-                        {k: v for k, v in state.items() if k != "static"}
-                    )
-                    _save_checkpoint(
-                        pipe, host, partition, unet_targets,
-                        text_targets, placeholder_tokens, placeholder_token_ids,
-                        os.path.join(output_dir, save_name.format(global_step)),
-                        save_lora=partition.unet_lora,
-                    )
-                    # reference logs loss + CLIP alignment at inversion save
-                    # points (cli_lora_pti.py:370-402)
-                    if log_wandb and label == "inversion":
-                        import wandb
+        while global_step < num_steps:
+            # never straddle a save/eval boundary with a fused group, so
+            # checkpoint cadence matches the reference exactly
+            until_save = save_steps - (global_step % save_steps)
+            take = min(dispatcher.spd, num_steps - global_step, until_save)
+            group = [next(stream) for _ in range(take)]
+            rng, key = jax.random.split(rng)
+            state, losses = dispatcher.run(state, group, key)
+            global_step += take
+            if log_wandb:
+                # device scalar: converting to float here would block on
+                # every step and serialize host/device
+                loss_sum = loss_sum + jnp.sum(losses)
+            if global_step % 50 < take or global_step == num_steps:
+                print(f"{label} step {global_step}/{num_steps} "
+                      f"loss={float(losses[-1]):.4f}")
+            if global_step % save_steps == 0:
+                host = jax.device_get(
+                    {k: v for k, v in state.items() if k != "static"}
+                )
+                _save_checkpoint(
+                    pipe, host, partition, unet_targets,
+                    text_targets, placeholder_tokens, placeholder_token_ids,
+                    os.path.join(output_dir, save_name.format(global_step)),
+                    save_lora=partition.unet_lora,
+                )
+                # reference logs loss + CLIP alignment at inversion save
+                # points (cli_lora_pti.py:370-402)
+                if log_wandb and label == "inversion":
+                    import wandb
 
-                        wandb.log({"loss": float(loss_sum) / save_steps})
-                        loss_sum = 0.0
-                        if preped_clip is not None:
-                            from PIL import Image as _Image
+                    wandb.log({"loss": float(loss_sum) / save_steps})
+                    loss_sum = 0.0
+                    if preped_clip is not None:
+                        from PIL import Image as _Image
 
-                            from .utils.eval import evaluate_pipe
+                        from .utils.eval import evaluate_pipe
 
-                            sh = host
-                            pipe.text_params = {
-                                **pipe.text_params,
-                                "token_embedding": {"embedding": jnp.asarray(
-                                    sh["params"]["ti_embeddings"])},
-                            }
-                            images = [
-                                _Image.open(os.path.join(instance_data_dir, f))
-                                for f in os.listdir(instance_data_dir)
-                                if f.endswith((".png", ".jpg"))
-                            ]
-                            wandb.log(evaluate_pipe(
-                                pipe, target_images=images,
-                                class_token=class_token,
-                                learnt_token="".join(placeholder_tokens),
-                                n_test=wandb_log_prompt_cnt, n_step=50,
-                                clip_model_sets=preped_clip,
-                            ))
-                    if partition.unet_lora:
-                        print("LORA Unet Moved",
-                              _mean_moved(host["params"]["unet_lora"]))
-                    if partition.text_lora:
-                        print("LORA CLIP Moved",
-                              _mean_moved(host["params"]["text_lora"]))
-                if global_step >= num_steps:
-                    return jax.device_get(state)
+                        sh = host
+                        pipe.text_params = {
+                            **pipe.text_params,
+                            "token_embedding": {"embedding": jnp.asarray(
+                                sh["params"]["ti_embeddings"])},
+                        }
+                        images = [
+                            _Image.open(os.path.join(instance_data_dir, f))
+                            for f in os.listdir(instance_data_dir)
+                            if f.endswith((".png", ".jpg"))
+                        ]
+                        wandb.log(evaluate_pipe(
+                            pipe, target_images=images,
+                            class_token=class_token,
+                            learnt_token="".join(placeholder_tokens),
+                            n_test=wandb_log_prompt_cnt, n_step=50,
+                            clip_model_sets=preped_clip,
+                        ))
+                if partition.unet_lora:
+                    print("LORA Unet Moved",
+                          _mean_moved(host["params"]["unet_lora"]))
+                if partition.text_lora:
+                    print("LORA CLIP Moved",
+                          _mean_moved(host["params"]["text_lora"]))
+            if global_step >= num_steps:
+                return jax.device_get(state)
         return jax.device_get(state)
 
     # ---- PHASE 1: inversion ------------------------------------------------

@@ -198,6 +198,62 @@ def stack_batches(batches):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 
+class FusedDispatcher:
+    """Drives a train step with ``spd``-step fused dispatch.
+
+    Wraps :func:`multi_step` + :func:`jit_train_step` + batch stacking/mesh
+    sharding behind one call so every trainer shares the same loop
+    mechanics: full groups go through the fused executable, partial
+    (trailing / boundary-clipped) groups fall back to a lazily-compiled
+    per-step executable, preserving exact step counts and save cadence.
+    """
+
+    def __init__(self, step_fn: Callable, spd: int = 1, mesh=None,
+                 state_shardings=None):
+        self.spd = max(1, spd)
+        self.mesh = mesh
+        self._step_fn = step_fn
+        self._state_shardings = state_shardings
+        self.jitted = jit_train_step(
+            step_fn if self.spd == 1 else multi_step(step_fn, self.spd),
+            mesh=mesh, state_shardings=state_shardings,
+            batch_ndims=1 if self.spd == 1 else 2,
+        )
+        self._tail = self.jitted if self.spd == 1 else None
+
+    def _shard(self, batch, spec=None):
+        if self.mesh is None:
+            return batch
+        from ..parallel import mesh as mesh_lib
+
+        return mesh_lib.shard_batch(batch, self.mesh, spec=spec)
+
+    def run(self, state, group, rng):
+        """Run ``len(group)`` (<= spd) steps; returns (state, losses (n,))."""
+        from jax.sharding import PartitionSpec as P
+
+        n = len(group)
+        if n == self.spd and self.spd > 1:
+            batches = stack_batches(group)
+            batches = self._shard(batches, spec=P(None, "data"))
+            state, metrics = self.jitted(state, batches, rng)
+            return state, metrics["loss"]
+        if self.spd == 1:
+            state, metrics = self.jitted(state, self._shard(group[0]), rng)
+            return state, metrics["loss"][None]
+        if self._tail is None:
+            self._tail = jit_train_step(
+                self._step_fn, mesh=self.mesh,
+                state_shardings=self._state_shardings,
+            )
+        losses = []
+        for batch in group:
+            rng, sub = jax.random.split(rng)
+            state, metrics = self._tail(state, self._shard(batch), sub)
+            losses.append(metrics["loss"])
+        return state, jnp.stack(losses)
+
+
 def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
                    state_shardings=None, batch_ndims: int = 1):
     # donate=True invalidates the caller's `state` buffers — including the

@@ -56,6 +56,7 @@ def test_lora_pti_end_to_end(tiny_model_dir, instance_dir, tmp_path):
         continue_inversion=True,
         color_jitter=False,
         mixed_precision="no",
+        steps_per_dispatch=2,  # fused-dispatch path; save cadence unchanged
     )
 
     # phase-1 TI checkpoints exist and contain only embeds

@@ -40,11 +40,9 @@ from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
 from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
 from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
 from diffusion_finetuning_tpu.training.train_step import (
+    FusedDispatcher,
     TrainablePartition,
     build_train_step,
-    jit_train_step,
-    multi_step,
-    stack_batches,
 )
 
 
@@ -262,12 +260,7 @@ def main(args):
     n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
     mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
     spd = max(1, args.steps_per_dispatch)
-    jitted = jit_train_step(
-        step_fn if spd == 1 else multi_step(step_fn, spd),
-        mesh=mesh, batch_ndims=1 if spd == 1 else 2,
-    )
-    # lazily-compiled single-step executable for a trailing partial group
-    tail_jitted = jitted if spd == 1 else None
+    dispatcher = FusedDispatcher(step_fn, spd=spd, mesh=mesh)
 
     params = {"unet_lora": unet_lora}
     if args.train_text_encoder:
@@ -343,8 +336,6 @@ def main(args):
             for batch in loader:
                 yield epoch, batch
 
-    from jax.sharding import PartitionSpec as P
-
     stream = batch_stream()
     while global_step < args.max_train_steps:
         take = min(spd, args.max_train_steps - global_step)
@@ -357,32 +348,7 @@ def main(args):
         if not group:
             break
         rng, key = jax.random.split(rng)
-        if len(group) == spd and spd > 1:
-            batches = stack_batches(group)
-            if mesh is not None:
-                batches = mesh_lib.shard_batch(
-                    batches, mesh, spec=P(None, "data"))
-            state, metrics = jitted(state, batches, key)
-            losses = metrics["loss"]
-        elif spd == 1:
-            batch = group[0]
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
-            state, metrics = jitted(state, batch, key)
-            losses = metrics["loss"][None] if metrics["loss"].ndim == 0 \
-                else metrics["loss"]
-        else:
-            # trailing partial group: per-step dispatch (compiled once)
-            if tail_jitted is None:
-                tail_jitted = jit_train_step(step_fn, mesh=mesh)
-            ls = []
-            for batch in group:
-                if mesh is not None:
-                    batch = mesh_lib.shard_batch(batch, mesh)
-                key, sub = jax.random.split(key)
-                state, metrics = tail_jitted(state, batch, sub)
-                ls.append(metrics["loss"])
-            losses = jnp.stack(ls)
+        state, losses = dispatcher.run(state, group, key)
         stepped = len(group)
         global_step += stepped
         for _ in range(stepped):

@@ -46,9 +46,9 @@ from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
 from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
 from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
 from diffusion_finetuning_tpu.training.train_step import (
+    FusedDispatcher,
     TrainablePartition,
     build_train_step,
-    jit_train_step,
 )
 
 
@@ -82,6 +82,9 @@ def parse_args(input_args=None):
     a("--max_train_steps", type=int, default=None)
     a("--save_steps", type=int, default=500)
     a("--gradient_accumulation_steps", type=int, default=1)
+    # fuse this many train steps into ONE device dispatch (see
+    # training.train_step.multi_step); amortizes per-dispatch host latency
+    a("--steps_per_dispatch", type=int, default=1)
     a("--gradient_checkpointing", action="store_true")
     a("--lora_rank", type=int, default=4)
     a("--learning_rate", type=float, default=5e-6)
@@ -235,7 +238,8 @@ def main(args):
     eff_batch = args.train_batch_size * (2 if args.with_prior_preservation else 1)
     n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
     mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
-    jitted = jit_train_step(step_fn, mesh=mesh)
+    dispatcher = FusedDispatcher(
+        step_fn, spd=max(1, args.steps_per_dispatch), mesh=mesh)
 
     state = {
         "params": params,
@@ -271,26 +275,33 @@ def main(args):
         torch_pickle.save({args.placeholder_token: row}, base + ".ti.pt")
         print(f"save weights {base}.pt")
 
-    done = False
-    for epoch in range(num_train_epochs):
-        if done:
-            break
-        for batch in loader:
-            if mesh is not None:
-                batch = mesh_lib.shard_batch(batch, mesh)
-            rng, key = jax.random.split(rng)
-            state, metrics = jitted(state, batch, key)
-            global_step += 1
-            if global_step % 50 == 0 or global_step == args.max_train_steps:
-                print(f"step {global_step}/{args.max_train_steps} "
-                      f"loss={float(metrics['loss']):.4f}")
-            if (args.save_steps and global_step - last_save >= args.save_steps
-                    and mesh_lib.is_main_process()):
-                save_periodic(jax.device_get(state), epoch, global_step)
-                last_save = global_step
-            if global_step >= args.max_train_steps:
-                done = True
+    def batch_stream():
+        for epoch in range(num_train_epochs):
+            for batch in loader:
+                yield epoch, batch
+
+    stream = batch_stream()
+    while global_step < args.max_train_steps:
+        # staged LR gating flips at unfreeze_lora_step inside the jit, so
+        # fused groups are safe across the boundary; clip only to the end
+        take = min(dispatcher.spd, args.max_train_steps - global_step)
+        group, epoch = [], 0
+        for epoch, batch in stream:
+            group.append(batch)
+            if len(group) == take:
                 break
+        if not group:
+            break
+        rng, key = jax.random.split(rng)
+        state, losses = dispatcher.run(state, group, key)
+        global_step += len(group)
+        if global_step % 50 < len(group) or global_step >= args.max_train_steps:
+            print(f"step {global_step}/{args.max_train_steps} "
+                  f"loss={float(jax.device_get(losses)[-1]):.4f}")
+        if (args.save_steps and global_step - last_save >= args.save_steps
+                and mesh_lib.is_main_process()):
+            save_periodic(jax.device_get(state), epoch, global_step)
+            last_save = global_step
 
     mesh_lib.barrier("end of training")
     sh = jax.device_get(state)
