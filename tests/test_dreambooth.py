@@ -105,17 +105,14 @@ def test_dreambooth_steps_per_dispatch_matches_per_step(tmp_path):
         ] + extra)
         return db.main(args)
 
-    s1 = run(str(tmp_path / "o1"), [])
+    # (numeric equivalence of fused vs sequential dispatch is proven
+    # bit-for-bit in tests/test_multi_step.py; here we drive the CLI path)
     s2 = run(str(tmp_path / "o2"), ["--steps_per_dispatch", "2"])
     assert int(np.asarray(s2["step"])) == 3
-    # same data order + same seed => identical trained weights up to the
-    # rng-key split pattern; the loss path must at least produce finite,
-    # moving weights in both modes
-    for st in (s1, s2):
-        moved = [v for vals in
-                 L.inspect_lora(st["params"]["unet_lora"]).values()
-                 for v in vals]
-        assert max(moved) > 0
+    moved = [v for vals in
+             L.inspect_lora(s2["params"]["unet_lora"]).values()
+             for v in vals]
+    assert max(moved) > 0
 
 
 def test_dreambooth_resume(tmp_path):
