@@ -169,6 +169,16 @@ def main(args):
         pipe.unet_config = _dc.replace(pipe.unet_config, gradient_checkpointing=True)
         pipe.unet = UNet2DConditionModel(pipe.unet_config, dtype=pipe.dtype)
 
+    if args.use_xformers:
+        # probe + enable flash attention per head dim (reference
+        # train_lora_dreambooth.py:623-625; on TPU flash is on by default,
+        # this re-probes and records per-shape capability)
+        from diffusion_finetuning_tpu.xformers_utils import (
+            set_use_memory_efficient_attention_xformers,
+        )
+
+        set_use_memory_efficient_attention_xformers(pipe.unet_config)
+
     unet_targets = lora_lib.filter_targets(
         unet_lora_targets(pipe.unet_config), lora_lib.DEFAULT_TARGET_REPLACE
     )

@@ -142,6 +142,25 @@ def main(args):
     emb = emb.at[placeholder_token_id].set(emb[init_ids[0]])
     pipe.text_params = {**pipe.text_params, "token_embedding": {"embedding": emb}}
 
+    if args.gradient_checkpointing:
+        # rematerialize UNet blocks in backward (reference:
+        # unet.enable_gradient_checkpointing, train_lora_w_ti.py:804-806)
+        import dataclasses as _dc
+
+        from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel
+
+        pipe.unet_config = _dc.replace(pipe.unet_config, gradient_checkpointing=True)
+        pipe.unet = UNet2DConditionModel(pipe.unet_config, dtype=pipe.dtype)
+    if args.use_xformers:
+        # probe + enable flash attention per head dim (reference
+        # train_lora_w_ti.py:800-802; on TPU flash is on by default, this
+        # re-probes and records per-shape capability)
+        from diffusion_finetuning_tpu.xformers_utils import (
+            set_use_memory_efficient_attention_xformers,
+        )
+
+        set_use_memory_efficient_attention_xformers(pipe.unet_config)
+
     unet_targets = lora_lib.filter_targets(
         unet_lora_targets(pipe.unet_config), lora_lib.DEFAULT_TARGET_REPLACE
     )
