@@ -56,6 +56,9 @@ def test_w_ti_staged_end_to_end(tmp_path):
         "--output_format", "both",
         "--seed", "3",
         "--steps_per_dispatch", "2",
+        # exercise the override loaders (same content as the base model)
+        "--tokenizer_name", os.path.join(model_dir, "tokenizer"),
+        "--pretrained_vae_name_or_path", os.path.join(model_dir, "vae"),
     ])
     state = w_ti.main(args)
     assert int(np.asarray(state["step"])) == 4
@@ -80,7 +83,15 @@ def test_pt_caption_end_to_end(tmp_path):
 
     pipe, model_dir, inst = _setup(tmp_path, fname="a photo of sks.png")
     out = str(tmp_path / "out")
+    class_dir = str(tmp_path / "classes")
     args = ptc.parse_args([
+        # prior preservation synthesizes missing class images (reference
+        # train_lora_w_ti.py:671-688) then doubles the batch
+        "--with_prior_preservation",
+        "--class_data_dir", class_dir,
+        "--class_prompt", "a photo",
+        "--num_class_images", "1",
+        "--sample_batch_size", "1",
         "--pretrained_model_name_or_path", model_dir,
         "--instance_data_dir", inst,
         "--placeholder_token", "<krk>",
@@ -102,3 +113,5 @@ def test_pt_caption_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "lora_weight.ti.pt"))
     # pt-only: no safetensors written
     assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
+    # class image was synthesized with a sha1-suffixed name
+    assert len(os.listdir(class_dir)) == 1

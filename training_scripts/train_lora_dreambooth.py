@@ -157,6 +157,23 @@ def main(args):
     pipe = StableDiffusionPipeline.from_pretrained(
         args.pretrained_model_name_or_path, dtype=dtype
     )
+    if args.tokenizer_name:
+        # separate tokenizer dir (reference train_lora_dreambooth.py:566-571)
+        from diffusion_finetuning_tpu.data.tokenizer import CLIPTokenizer
+
+        pipe.tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer_name)
+    if args.pretrained_vae_name_or_path:
+        # swap in a separately fine-tuned VAE (reference 581-587)
+        from diffusion_finetuning_tpu.models import hf_loading
+
+        vcfg = hf_loading.vae_config_from_hf(hf_loading.read_json(
+            os.path.join(args.pretrained_vae_name_or_path, "config.json")))
+        pipe.vae_params = hf_loading.vae_params_from_hf_state_dict(
+            hf_loading.load_model_dir_state_dict(
+                args.pretrained_vae_name_or_path), vcfg)
+    if args.push_to_hub:
+        print("WARNING: --push_to_hub is accepted for CLI parity but this "
+              "build has no hub access; outputs stay in --output_dir.")
 
     if args.with_prior_preservation:
         synthesize_class_images(args, pipe)

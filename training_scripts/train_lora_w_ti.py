@@ -125,6 +125,25 @@ def main(args):
     pipe = StableDiffusionPipeline.from_pretrained(
         args.pretrained_model_name_or_path, dtype=dtype
     )
+    if args.tokenizer_name:
+        # separate tokenizer dir (reference train_lora_w_ti.py:720-724)
+        from diffusion_finetuning_tpu.data.tokenizer import CLIPTokenizer
+
+        pipe.tokenizer = CLIPTokenizer.from_pretrained(args.tokenizer_name)
+    if args.pretrained_vae_name_or_path:
+        # swap in a separately fine-tuned VAE (reference 760-765)
+        from diffusion_finetuning_tpu.models import hf_loading
+
+        vcfg = hf_loading.vae_config_from_hf(hf_loading.read_json(
+            os.path.join(args.pretrained_vae_name_or_path, "config.json")))
+        pipe.vae_params = hf_loading.vae_params_from_hf_state_dict(
+            hf_loading.load_model_dir_state_dict(
+                args.pretrained_vae_name_or_path), vcfg)
+    if args.with_prior_preservation:
+        # synthesize the shortfall of class images (reference 671-688)
+        from train_lora_dreambooth import synthesize_class_images
+
+        synthesize_class_images(args, pipe)
     tokenizer = pipe.tokenizer
 
     # install the placeholder token, init from the (single-token) initializer
