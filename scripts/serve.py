@@ -1,14 +1,17 @@
-"""HTTP txt2img serving on one chip.
+"""HTTP txt2img serving on one chip or a whole mesh.
 
 POST /generate  {"prompt": "...", "steps": 30, "height": 512, "width": 512,
                  "guidance_scale": 7.5, "scheduler": "dpm", "seed": 0}
 -> image/png
 
 Concurrent requests are micro-batched onto the device by
-diffusion_finetuning_tpu.serving.GenerationServer.
+diffusion_finetuning_tpu.serving.GenerationServer; with --data_parallel the
+pipeline shards each batch across every local chip (params replicated,
+batch over the mesh's data axis) and the batch ladder rounds to mesh
+multiples.
 
 Usage: python scripts/serve.py MODEL_DIR [--lora path.safetensors]
-       [--port 8000] [--max_batch 4]
+       [--port 8000] [--max_batch 4] [--data_parallel]
 """
 
 import io
@@ -27,10 +30,20 @@ from diffusion_finetuning_tpu.utils.cli import Fire
 
 
 def serve(model_dir: str, lora: str = None, port: int = 8000,
-          max_batch: int = 4, host: str = "127.0.0.1"):
+          max_batch: int = 4, host: str = "127.0.0.1",
+          data_parallel: bool = False):
     pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)
     if lora:
         patch_pipe(pipe, lora, patch_unet=True, patch_text=True, patch_ti=True)
+    if data_parallel:
+        import jax
+
+        from diffusion_finetuning_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if n > 1:
+            pipe.shard_over(make_mesh(n))
+            print(f"serving data-parallel over {n} devices")
     server = GenerationServer(pipe, max_batch=max_batch)
 
     class Handler(BaseHTTPRequestHandler):
