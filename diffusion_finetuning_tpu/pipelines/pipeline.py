@@ -307,6 +307,13 @@ class StableDiffusionPipeline:
             ("materialize",), lambda: jax.jit(lora_lib.materialize_lora_tree)
         )
         merged = fn(params, lora)
+        if self.mesh is not None:
+            # pin the merged tree replicated on the mesh NOW — a LoRA patched
+            # after shard_over is host-resident, and without this every
+            # generation call would re-transfer the merged params
+            from ..parallel import mesh as mesh_lib
+
+            merged = mesh_lib.replicate(merged, self.mesh)
         self._merged_cache[which] = (params, lora, merged)
         return merged
 

@@ -143,6 +143,27 @@ def test_sharded_generation_matches_single_device(pipe):
                        seed=0, output_type="np")
         with pytest.raises(ValueError):
             pipe(["a", "b", "c"], num_inference_steps=2, height=16, width=16)
+
+        # patching a LoRA AFTER shard_over: materialized tree must land
+        # replicated on the mesh and generation must still work
+        from diffusion_finetuning_tpu import lora as L
+
+        targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+        rng = np.random.default_rng(1)
+        flat = []
+        for t in targets:
+            flat.append(rng.standard_normal(
+                (t.out_features, 1)).astype(np.float32) * 0.3)
+            flat.append(rng.standard_normal(
+                (1, t.in_features)).astype(np.float32) * 0.3)
+        pipe.unet_lora = L.monkeypatch_lora(flat, targets, r=1)
+        patched = pipe(prompts, num_inference_steps=2, height=16, width=16,
+                       seed=0, output_type="np")
+        assert np.abs(patched - sharded).max() > 0
+        merged = pipe._merged_cache["unet"][2]
+        leaf = jax.tree_util.tree_leaves(merged)[0]
+        assert len(leaf.sharding.device_set) == 4  # replicated on the mesh
+        pipe.unet_lora = None
     finally:
         pipe.shard_over(None)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
