@@ -344,8 +344,12 @@ def train(
             clip_ti_decay=clip_ti_decay, ti_lr_schedule=ti_sched,
             grad_accum_steps=accum,
         )
-        dispatcher = FusedDispatcher(
-            step_fn, spd=max(1, steps_per_dispatch), mesh=mesh)
+        # clamp to the save window so every full group fuses with ONE
+        # executable (groups are clipped at save boundaries below)
+        spd = max(1, steps_per_dispatch)
+        if save_steps:
+            spd = min(spd, save_steps)
+        dispatcher = FusedDispatcher(step_fn, spd=spd, mesh=mesh)
         if mesh is not None:
             state = mesh_lib.replicate(state, mesh)
 

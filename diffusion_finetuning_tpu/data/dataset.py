@@ -163,19 +163,25 @@ _CASCADE_DIRS = (
 )
 
 
-def _yunet_boxes(path: str) -> Optional[List[Tuple[int, int, int, int]]]:
+# detector instances are expensive to build (ONNX deserialize / cascade
+# parse): cache them across images
+_DETECTOR_CACHE: dict = {}
+
+
+def _yunet_boxes(bgr: np.ndarray) -> Optional[List[Tuple[int, int, int, int]]]:
     model = os.environ.get("DFT_YUNET_MODEL", "")
     if not model or not os.path.exists(model):
         return None
     try:
         import cv2
 
-        img = cv2.imread(path)
-        if img is None:
-            return None
-        h, w = img.shape[:2]
-        det = cv2.FaceDetectorYN_create(model, "", (w, h))
-        _, faces = det.detect(img)
+        h, w = bgr.shape[:2]
+        det = _DETECTOR_CACHE.get(("yunet", model))
+        if det is None:
+            det = cv2.FaceDetectorYN_create(model, "", (w, h))
+            _DETECTOR_CACHE[("yunet", model)] = det
+        det.setInputSize((w, h))
+        _, faces = det.detect(bgr)
         if faces is None:
             return []
         return [tuple(int(v) for v in f[:4]) for f in faces]
@@ -183,31 +189,32 @@ def _yunet_boxes(path: str) -> Optional[List[Tuple[int, int, int, int]]]:
         return None
 
 
-def _haar_boxes(path: str) -> Optional[List[Tuple[int, int, int, int]]]:
+def _haar_boxes(bgr: np.ndarray) -> Optional[List[Tuple[int, int, int, int]]]:
     try:
         import cv2
 
         if not hasattr(cv2, "CascadeClassifier"):
             return None
-        dirs = [getattr(getattr(cv2, "data", None), "haarcascades", "")]
-        dirs += list(_CASCADE_DIRS)
-        cascade = next(
-            (
-                os.path.join(d, "haarcascade_frontalface_alt2.xml")
-                for d in dirs
-                if d and os.path.exists(os.path.join(d, "haarcascade_frontalface_alt2.xml"))
-            ),
-            None,
-        )
-        if cascade is None:
-            return None
-        img = cv2.imread(path)
-        if img is None:
-            return None
-        det = cv2.CascadeClassifier(cascade)
-        if det.empty():
-            return None
-        gray = cv2.equalizeHist(cv2.cvtColor(img, cv2.COLOR_BGR2GRAY))
+        det = _DETECTOR_CACHE.get("haar")
+        if det is None:
+            dirs = [getattr(getattr(cv2, "data", None), "haarcascades", "")]
+            dirs += list(_CASCADE_DIRS)
+            cascade = next(
+                (
+                    os.path.join(d, "haarcascade_frontalface_alt2.xml")
+                    for d in dirs
+                    if d and os.path.exists(
+                        os.path.join(d, "haarcascade_frontalface_alt2.xml"))
+                ),
+                None,
+            )
+            if cascade is None:
+                return None
+            det = cv2.CascadeClassifier(cascade)
+            if det.empty():
+                return None
+            _DETECTOR_CACHE["haar"] = det
+        gray = cv2.equalizeHist(cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY))
         faces = det.detectMultiScale(gray, 1.1, 4)
         return [tuple(int(v) for v in f) for f in faces]
     except Exception:
@@ -252,18 +259,24 @@ def _skin_boxes(arr: np.ndarray) -> List[Tuple[int, int, int, int]]:
 def detect_face_boxes(path: str) -> Tuple[Optional[List[Tuple[int, int, int, int]]], Tuple[int, int]]:
     """Face bounding boxes (x, y, w, h) and the source (H, W).
 
-    Returns ``([], shape)`` when a detector ran and found nothing and
-    ``(None, (0, 0))`` only when the image itself is unreadable."""
-    boxes = _yunet_boxes(path)
-    if boxes is None:
-        boxes = _haar_boxes(path)
+    Returns ``([], shape)`` when a detector ran and found nothing,
+    ``(None, shape)`` when no detector is available, and ``(None, (0, 0))``
+    when the image itself is unreadable.  The image is decoded ONCE and
+    shared by every detector in the chain."""
     try:
         with Image.open(path) as img:
             arr = np.asarray(img.convert("RGB"))
     except Exception:
         return None, (0, 0)
+    bgr = np.ascontiguousarray(arr[..., ::-1])
+    boxes = _yunet_boxes(bgr)
     if boxes is None:
-        boxes = _skin_boxes(arr)
+        boxes = _haar_boxes(bgr)
+    if boxes is None:
+        try:
+            boxes = _skin_boxes(arr)
+        except Exception:  # e.g. scipy absent on a minimal install
+            boxes = None
     return boxes, arr.shape[:2]
 
 
@@ -278,7 +291,8 @@ def face_mask(path: str, size: int, blur_amount: int) -> np.ndarray:
     boxes, (h, w) = detect_face_boxes(path)
     if boxes is None or h == 0:
         warnings.warn(
-            f"face_mask: could not read {path!r}; using an all-ones mask",
+            f"face_mask: could not read {path!r} or no face detector is "
+            "available (cv2/scipy missing); using an all-ones mask",
             stacklevel=2,
         )
         black = np.full((size, size), 255, np.uint8)
@@ -294,8 +308,12 @@ def face_mask(path: str, size: int, blur_amount: int) -> np.ndarray:
     else:
         black = np.zeros((h, w), np.uint8)
         for (x, y, bw, bh) in boxes:
+            # clamp BOTH ends: detectors can return boxes partially or fully
+            # outside the frame, and a negative slice end would wrap around
             x0, y0 = max(0, x), max(0, y)
-            black[y0: y + bh, x0: x + bw] = 255
+            x1, y1 = min(w, x + bw), min(h, y + bh)
+            if x1 > x0 and y1 > y0:
+                black[y0:y1, x0:x1] = 255
     m = Image.fromarray(black, mode="L").filter(
         ImageFilter.GaussianBlur(radius=blur_amount)
     )

@@ -219,6 +219,12 @@ class FusedDispatcher:
             mesh=mesh, state_shardings=state_shardings,
             batch_ndims=1 if self.spd == 1 else 2,
         )
+        # group size -> fused executable; a one-off partial group (the run's
+        # tail) uses the per-step fallback, but a RECURRING size (e.g. spd
+        # clipped by a save boundary every window) gets its own fused
+        # executable so fusion never silently degrades to per-step dispatch
+        self._fused = {self.spd: self.jitted} if self.spd > 1 else {}
+        self._size_seen: Dict[int, int] = {}
         self._tail = self.jitted if self.spd == 1 else None
 
     def _shard(self, batch, spec=None):
@@ -228,19 +234,34 @@ class FusedDispatcher:
 
         return mesh_lib.shard_batch(batch, self.mesh, spec=spec)
 
+    def _fused_for(self, n: int):
+        fn = self._fused.get(n)
+        if fn is not None:
+            return fn
+        self._size_seen[n] = self._size_seen.get(n, 0) + 1
+        if self._size_seen[n] < 2:
+            return None  # one-off tail: not worth a compile
+        fn = jit_train_step(
+            multi_step(self._step_fn, n), mesh=self.mesh,
+            state_shardings=self._state_shardings, batch_ndims=2,
+        )
+        self._fused[n] = fn
+        return fn
+
     def run(self, state, group, rng):
         """Run ``len(group)`` (<= spd) steps; returns (state, losses (n,))."""
         from jax.sharding import PartitionSpec as P
 
         n = len(group)
-        if n == self.spd and self.spd > 1:
-            batches = stack_batches(group)
-            batches = self._shard(batches, spec=P(None, "data"))
-            state, metrics = self.jitted(state, batches, rng)
-            return state, metrics["loss"]
         if self.spd == 1:
             state, metrics = self.jitted(state, self._shard(group[0]), rng)
             return state, metrics["loss"][None]
+        fn = self._fused_for(n) if n > 1 else None
+        if fn is not None:
+            batches = stack_batches(group)
+            batches = self._shard(batches, spec=P(None, "data"))
+            state, metrics = fn(state, batches, rng)
+            return state, metrics["loss"]
         if self._tail is None:
             self._tail = jit_train_step(
                 self._step_fn, mesh=self.mesh,

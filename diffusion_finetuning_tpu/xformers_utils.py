@@ -80,6 +80,12 @@ def set_use_memory_efficient_attention_xformers(
                 head_dim=head_dim, enabled=False if not ok else None
             )
             any_ok = any_ok or ok
+        if any_ok:
+            # an enable request must also undo a prior global disable —
+            # otherwise the per-shape overrides are recorded but
+            # flash_supported() still vetoes every shape and we would
+            # return True while flash silently stays off
+            attention_ops.set_flash_enabled(True)
         return any_ok
     if valid:
         valid = test_flash_backwards(64)

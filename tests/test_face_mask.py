@@ -118,3 +118,24 @@ def test_dataset_integration_mask_flows_to_batch(face_image, tmp_path):
     assert ex["mask"].max() > 0.9
     batch = ds.collate_batch([ex, ex], pad_token_id=0)
     assert batch["mask"].shape == (2, 64, 64, 1)
+
+
+def test_out_of_frame_box_does_not_wrap(monkeypatch, tmp_path):
+    """A detection box fully above the frame (negative y, y+h <= 0) must
+    mask NOTHING — a negative slice end would wrap and paint ~everything."""
+    p = str(tmp_path / "img.png")
+    Image.new("RGB", (100, 100), (10, 10, 10)).save(p)
+    monkeypatch.setattr(
+        ds, "detect_face_boxes",
+        lambda path: ([(10, -60, 20, 50)], (100, 100)))
+    m = ds.face_mask(p, 100, blur_amount=0)
+    assert m.max() == 0.0  # box is entirely outside the image
+
+    # partially-outside box: only the in-frame part masks
+    monkeypatch.setattr(
+        ds, "detect_face_boxes",
+        lambda path: ([(10, -20, 20, 50)], (100, 100)))
+    m = ds.face_mask(p, 100, blur_amount=0)
+    assert m.max() == 1.0
+    assert m[:30, 10:30].min() == 1.0   # rows 0..29 in frame
+    assert m[31:, :].max() == 0.0

@@ -141,6 +141,19 @@ class TestPerShapeOverrides:
         attention_ops.set_flash_override(head_dim=40, enabled=None)
         assert attention_ops.flash_supported(4096, 4096, 40)
 
+    def test_shim_enable_undoes_global_disable(self, monkeypatch):
+        from diffusion_finetuning_tpu import xformers_utils
+        from diffusion_finetuning_tpu.models.unet import UNetConfig
+
+        attention_ops.set_flash_enabled(False)
+        monkeypatch.setattr(xformers_utils, "test_flash_backwards",
+                            lambda size: True)
+        ok = xformers_utils.set_use_memory_efficient_attention_xformers(
+            UNetConfig.sd15())
+        assert ok
+        # the enable request must actually re-enable dispatch
+        assert attention_ops.flash_supported(4096, 4096, 40)
+
     def test_shim_probes_each_head_dim_independently(self, monkeypatch):
         from diffusion_finetuning_tpu import xformers_utils
         from diffusion_finetuning_tpu.models.unet import UNetConfig

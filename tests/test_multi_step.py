@@ -114,3 +114,22 @@ def test_multi_step_on_mesh(setup):
     st, ms = fused(st, stack_batches(batches), jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(ms["loss"])).all()
     assert int(st["step"]) == k
+
+
+def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
+    """A group size that recurs (e.g. spd clipped at every save boundary)
+    must get its own fused executable instead of degrading to per-step
+    dispatch forever."""
+    from diffusion_finetuning_tpu.training.train_step import FusedDispatcher
+
+    step_fn, state = setup
+    d = FusedDispatcher(step_fn, spd=3)
+    batches = _batches(2)
+    state, losses = d.run(state, batches, jax.random.PRNGKey(0))
+    assert losses.shape == (2,)
+    assert 2 not in d._fused          # first sighting: per-step fallback
+    state, losses = d.run(state, batches, jax.random.PRNGKey(1))
+    assert 2 in d._fused              # recurring: fused executable built
+    state, losses = d.run(state, batches, jax.random.PRNGKey(2))
+    assert losses.shape == (2,)
+    assert int(state["step"]) == 6

@@ -91,7 +91,7 @@ def test_legacy_format_loads_real_values(tmp_path):
     _use_new_zipfile_serialization=False): storage bytes live AFTER the
     payload pickle; values must come back exactly (regression: the first
     implementation materialized tensors from empty buffers)."""
-    import torch
+    torch = pytest.importorskip("torch")
 
     from diffusion_finetuning_tpu.io import torch_pickle as tp
 

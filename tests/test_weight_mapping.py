@@ -117,7 +117,7 @@ def test_text_enc_conversion_matches_reference(ref):
 
 
 def test_linear_layout_matches_torch():
-    import torch
+    torch = pytest.importorskip("torch")
 
     torch.manual_seed(0)
     lin = torch.nn.Linear(5, 3)
@@ -132,7 +132,7 @@ def test_linear_layout_matches_torch():
 
 
 def test_conv_layout_matches_torch():
-    import torch
+    torch = pytest.importorskip("torch")
     from flax import linen as nn
 
     torch.manual_seed(0)
@@ -149,7 +149,7 @@ def test_conv_layout_matches_torch():
 
 
 def test_groupnorm_layout_matches_torch():
-    import torch
+    torch = pytest.importorskip("torch")
     from flax import linen as nn
 
     torch.manual_seed(0)

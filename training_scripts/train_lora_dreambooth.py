@@ -76,7 +76,9 @@ def parse_args(input_args=None):
     # fuse this many train steps into ONE device dispatch (lax.scan over
     # stacked prefetched batches) — amortizes per-dispatch host/RPC latency,
     # which dominates on remote TPU runtimes (~18 ms/step measured via the
-    # tunnel).  Results are bit-identical to per-step dispatch.
+    # tunnel).  Deterministic given the seed, but the RNG key stream differs
+    # from per-step dispatch, so changing this value changes the sampled
+    # noise/timesteps (like changing the seed does).
     a("--steps_per_dispatch", type=int, default=1)
     a("--gradient_checkpointing", action="store_true")
     a("--lora_rank", type=int, default=4)
