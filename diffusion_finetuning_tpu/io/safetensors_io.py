@@ -215,9 +215,21 @@ def parse_safeloras(
         weights: List[np.ndarray] = []
         ranks: List[int] = []
         for i in idxs:
-            ranks.append(int(metadata[f"{model}:{i}:rank"]))
-            weights.append(np.asarray(tensors[f"{model}:{i}:up"]))
-            weights.append(np.asarray(tensors[f"{model}:{i}:down"]))
+            try:
+                ranks.append(int(metadata[f"{model}:{i}:rank"]))
+            except KeyError:
+                raise ValueError(
+                    f"model {model}: missing '{model}:{i}:rank' metadata "
+                    "(malformed safelora file)"
+                ) from None
+            for part in ("up", "down"):
+                key = f"{model}:{i}:{part}"
+                if key not in tensors:
+                    raise ValueError(
+                        f"model {model}: tensor '{key}' missing — up/down "
+                        "pairs must both be present"
+                    )
+                weights.append(np.asarray(tensors[key]))
         loras[model] = (weights, ranks, target)
     return loras
 

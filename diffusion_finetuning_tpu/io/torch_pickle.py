@@ -223,7 +223,14 @@ class _TorchUnpickler(pickle.Unpickler):
 def _load_zip(fobj: BinaryIO) -> Any:
     zf = zipfile.ZipFile(fobj)
     names = zf.namelist()
-    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    pkl_name = next(
+        (n for n in names if n.endswith("/data.pkl") or n == "data.pkl"), None
+    )
+    if pkl_name is None:
+        raise ValueError(
+            "not a torch zip checkpoint: no data.pkl member "
+            f"(archive contains {names[:5]}...)"
+        )
     prefix = pkl_name[: -len("data.pkl")]
     cache: Dict[str, bytes] = {}
 

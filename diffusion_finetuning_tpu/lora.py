@@ -534,6 +534,22 @@ def monkeypatch_add_lora(
         leaf = dict(tree_get(lora_tree, t.path))
         up_new = jnp.asarray(np.asarray(flat[2 * i], np.float32), leaf["up"].dtype)
         down_new = jnp.asarray(np.asarray(flat[2 * i + 1], np.float32), leaf["down"].dtype)
+        if t.is_conv:
+            # accept the 2-D rank-factor layout like flat_to_lora_tree does
+            # (lora.py flat loader) — adding a 2-D factor to the resident
+            # 4-D leaf would crash (down) or silently broadcast into a
+            # wrong-shaped tensor (up)
+            if up_new.ndim == 2:
+                up_new = up_new.reshape(t.out_features, up_new.shape[1], 1, 1)
+            if down_new.ndim == 2:
+                down_new = down_new.reshape(
+                    down_new.shape[0], t.in_features, *t.kernel_size)
+        if up_new.shape != leaf["up"].shape or down_new.shape != leaf["down"].shape:
+            raise ValueError(
+                f"add_lora shape mismatch at {t.path}: file has "
+                f"{up_new.shape}/{down_new.shape}, tree has "
+                f"{leaf['up'].shape}/{leaf['down'].shape} (different rank?)"
+            )
         leaf["up"] = alpha * up_new + beta * leaf["up"]
         leaf["down"] = alpha * down_new + beta * leaf["down"]
         new_tree = tree_set(new_tree, t.path, leaf)

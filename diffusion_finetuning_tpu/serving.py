@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -35,6 +35,21 @@ class _Request:
     def batch_key(self) -> Tuple:
         return (self.height, self.width, self.steps, self.guidance_scale,
                 self.scheduler)
+
+    def resolve(self, result) -> None:
+        """set_result, tolerating futures the caller already cancelled —
+        a cancelled future must not poison the rest of its batch."""
+        try:
+            self.future.set_result(result)
+        except InvalidStateError:
+            pass
+
+    def fail(self, exc: BaseException) -> None:
+        try:
+            if not self.future.done():
+                self.future.set_exception(exc)
+        except InvalidStateError:
+            pass
 
 
 class GenerationServer:
@@ -61,6 +76,9 @@ class GenerationServer:
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._carry: Optional[_Request] = None  # head of the next shape class
         self._stop = threading.Event()
+        # serializes submit()-vs-close() so a request can't slip into the
+        # queue after close() has drained it (the caller would hang forever)
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -68,20 +86,29 @@ class GenerationServer:
     def submit(self, prompt: str, negative_prompt: str = "", height: int = 512,
                width: int = 512, steps: int = 30, guidance_scale: float = 7.5,
                scheduler: str = "dpm", seed: int = 0) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("GenerationServer is closed")
         req = _Request(prompt, negative_prompt, height, width, steps,
                        guidance_scale, scheduler, seed)
-        self._q.put(req)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("GenerationServer is closed")
+            self._q.put(req)
         return req.future
 
     def generate(self, *args, **kwargs):
         return self.submit(*args, **kwargs).result()
 
     def close(self):
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._thread.join(timeout=30)
-        # fail anything still pending so callers never block forever
+        # fail anything still pending so callers never block forever.  The
+        # worker also fails its own leftovers on exit (it may still be
+        # mid-generation past the join timeout and park a request in
+        # _carry afterwards); doing it in both places covers either
+        # interleaving, and resolve/fail are idempotent.
+        self._drain_and_fail()
+
+    def _drain_and_fail(self):
         pending = [self._carry] if self._carry else []
         self._carry = None
         while True:
@@ -90,8 +117,7 @@ class GenerationServer:
             except queue.Empty:
                 break
         for r in pending:
-            if not r.future.done():
-                r.future.set_exception(RuntimeError("server closed"))
+            r.fail(RuntimeError("server closed"))
 
     # -- worker --------------------------------------------------------------
     def _collect(self) -> List[_Request]:
@@ -103,7 +129,9 @@ class GenerationServer:
             except queue.Empty:
                 return []
         batch = [first]
-        self._stop.wait(self.max_wait_s)  # small coalescing window
+        if self._q.qsize() < self.max_batch - 1:
+            # coalescing window — skipped when a full batch is already queued
+            self._stop.wait(self.max_wait_s)
         while len(batch) < self.max_batch:
             try:
                 nxt = self._q.get_nowait()
@@ -125,27 +153,33 @@ class GenerationServer:
         return self.allowed_batches[-1]
 
     def _loop(self):
-        while not self._stop.is_set():
-            batch = self._collect()
-            if not batch:
-                continue
-            r0 = batch[0]
-            n = len(batch)
-            nb = self._rounded(n)
-            prompts = [r.prompt for r in batch] + [r0.prompt] * (nb - n)
-            negs = [r.negative_prompt for r in batch] + [r0.negative_prompt] * (nb - n)
-            seeds = [r.seed for r in batch] + [r0.seed] * (nb - n)
-            try:
-                images = self.pipe(
-                    prompts, negative_prompt=negs, height=r0.height,
-                    width=r0.width, num_inference_steps=r0.steps,
-                    guidance_scale=r0.guidance_scale, scheduler=r0.scheduler,
-                    seed=seeds,  # per-request seeds honored inside the jit
-                    output_type="pil",
-                )
-                for r, img in zip(batch, images[:n]):
-                    r.future.set_result(img)
-            except Exception as e:
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+        try:
+            while not self._stop.is_set():
+                batch = self._collect()
+                if not batch:
+                    continue
+                r0 = batch[0]
+                n = len(batch)
+                nb = self._rounded(n)
+                prompts = [r.prompt for r in batch] + [r0.prompt] * (nb - n)
+                negs = ([r.negative_prompt for r in batch]
+                        + [r0.negative_prompt] * (nb - n))
+                seeds = [r.seed for r in batch] + [r0.seed] * (nb - n)
+                try:
+                    images = self.pipe(
+                        prompts, negative_prompt=negs, height=r0.height,
+                        width=r0.width, num_inference_steps=r0.steps,
+                        guidance_scale=r0.guidance_scale,
+                        scheduler=r0.scheduler,
+                        seed=seeds,  # per-request seeds honored inside the jit
+                        output_type="pil",
+                    )
+                    for r, img in zip(batch, images[:n]):
+                        r.resolve(img)
+                except Exception as e:
+                    for r in batch:
+                        r.fail(e)
+        finally:
+            # on shutdown, fail whatever this thread still holds (including
+            # a request parked in _carry after close() already drained)
+            self._drain_and_fail()

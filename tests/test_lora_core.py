@@ -184,3 +184,33 @@ def test_golden_file_loads_into_matching_targets():
     tree = L.flat_to_lora_tree(flat, targets)
     leaf = tree_get(tree, ("layers_0", "self_attn", "k_proj"))
     assert leaf["up"].shape == (768, 1) and leaf["down"].shape == (1, 768)
+
+
+def test_monkeypatch_add_lora_normalizes_conv_2d_factors(tiny_unet_cfg=None):
+    """add_lora must accept the 2-D conv rank-factor layout that the flat
+    loaders accept (reference stores conv factors either way)."""
+    import numpy as np
+    from diffusion_finetuning_tpu import lora as L
+
+    t = L.LoraTarget(path=("conv",), in_features=8, out_features=16,
+                     ancestor="ResnetBlock2D", kernel_size=(3, 3))
+    rng = np.random.default_rng(0)
+    up4 = rng.standard_normal((16, 4, 1, 1)).astype(np.float32)
+    down4 = rng.standard_normal((4, 8, 3, 3)).astype(np.float32)
+    tree = L.flat_to_lora_tree([up4, down4], [t])
+    up2 = rng.standard_normal((16, 4)).astype(np.float32)
+    down2 = rng.standard_normal((4, 8 * 9)).astype(np.float32)
+    out = L.monkeypatch_add_lora(tree, [up2, down2], [t], alpha=0.5, beta=1.0)
+    leaf = out["conv"]
+    assert leaf["up"].shape == (16, 4, 1, 1)
+    assert leaf["down"].shape == (4, 8, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(leaf["up"]),
+        0.5 * up2.reshape(16, 4, 1, 1) + up4, rtol=1e-6)
+    # mismatched rank raises a descriptive error, not a broadcast crash
+    import pytest as _pytest
+
+    bad_up = rng.standard_normal((16, 2)).astype(np.float32)
+    bad_down = rng.standard_normal((2, 8 * 9)).astype(np.float32)
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        L.monkeypatch_add_lora(tree, [bad_up, bad_down], [t])

@@ -122,3 +122,21 @@ def test_safetensors_lib_reads_canonical_output(tmp_path):
         assert set(f.keys()) == set(tensors)
         assert f.metadata() == meta
         np.testing.assert_array_equal(f.get_tensor("m:0:up"), tensors["m:0:up"])
+
+
+def test_malformed_safelora_diagnostics():
+    """Missing rank metadata / missing pair tensor raise descriptive
+    ValueErrors, not bare KeyErrors."""
+    import numpy as np
+    import pytest
+    from diffusion_finetuning_tpu.io import safetensors_io as sio
+
+    tensors = {"unet:0:up": np.zeros((4, 1), np.float32),
+               "unet:0:down": np.zeros((1, 4), np.float32)}
+    meta = {"unet": "[\"CrossAttention\"]"}  # no unet:0:rank
+    with pytest.raises(ValueError, match="rank"):
+        sio.parse_safeloras(tensors, meta)
+    meta["unet:0:rank"] = "1"
+    del tensors["unet:0:down"]
+    with pytest.raises(ValueError, match="missing"):
+        sio.parse_safeloras(tensors, meta)

@@ -99,3 +99,23 @@ def test_server_over_mesh_rounds_ladder_and_serves(pipe):
         server.close()
     finally:
         pipe.shard_over(None)
+
+
+def test_cancelled_future_does_not_poison_batch(pipe):
+    """A caller-cancelled future must not deliver InvalidStateError to the
+    other requests coalesced into the same device batch."""
+    server = GenerationServer(pipe, max_batch=4, max_wait_ms=300)
+    kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+    f1 = server.submit("a", **kw)
+    f2 = server.submit("b", **kw)
+    f1.cancel()  # futures are never set running, so cancel() succeeds
+    img = f2.result(timeout=300)
+    assert img.size == (16, 16)
+    server.close()
+
+
+def test_submit_after_close_raises_not_hangs(pipe):
+    server = GenerationServer(pipe, max_batch=2, max_wait_ms=5)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit("a", height=16, width=16, steps=1)

@@ -107,3 +107,12 @@ def test_legacy_format_loads_real_values(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["b"]), b.numpy())
     np.testing.assert_array_equal(np.asarray(out["items"][0]), w[1].numpy())
     assert out["items"][1] == 7
+
+
+def test_zip_without_data_pkl_raises_value_error(tmp_path):
+    import zipfile
+    p = str(tmp_path / "not_torch.zip")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("hello.txt", "hi")
+    with pytest.raises(ValueError, match="data.pkl"):
+        tp.load(p)
