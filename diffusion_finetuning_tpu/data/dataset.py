@@ -10,10 +10,12 @@ Behavioral notes vs the reference:
   sources would produce ragged tensors that crash torch's collate at
   batch>1.  Here images are short-side-resized then center-cropped square —
   identical for square sources, well-defined otherwise.
-* Face-mask conditioning (dataset.py:176-220) uses any detector producing
-  boxes; mediapipe isn't in the image, so an OpenCV Haar cascade is used
-  when available, else a full-ones mask.  The box -> 255-rect ->
-  GaussianBlur(blur_amount) -> resize pipeline matches the reference.
+* Face-mask conditioning (dataset.py:176-220) uses a pluggable detector
+  chain (cv2 YuNet -> Haar cascade -> built-in skin segmentation; mediapipe
+  isn't in the image).  No detection = zero mask + loud warning (reference
+  semantics); an unreadable image or no detector at all = all-ones mask.
+  The box -> 255-rect -> GaussianBlur(blur_amount) -> resize pipeline
+  matches the reference.
 
 The prompt-template lists are the standard textual-inversion templates the
 reference trains with (dataset.py:11-61) — data constants kept verbatim for
@@ -369,6 +371,12 @@ class PivotalTuningDatasetCapation:
             Path(class_data_root).mkdir(parents=True, exist_ok=True)
             self.class_images_path = _image_paths(class_data_root)
             self.num_class_images = len(self.class_images_path)
+            if self.num_class_images == 0:
+                raise ValueError(
+                    f"class_data_root {class_data_root!r} contains no images; "
+                    "generate class images first (train_lora_dreambooth "
+                    "synthesizes the shortfall) or disable prior preservation"
+                )
             self._length = max(self.num_class_images, self.num_instance_images)
             self.class_prompt = class_prompt
             self.class_data_root = class_data_root
@@ -393,6 +401,12 @@ class PivotalTuningDatasetCapation:
             img = center_crop(resize_short_side(img, self.size), self.size)
         if self.color_jitter:
             img = color_jitter(img, 0.1, 0.1, self.rng)
+        if img.size != (self.size, self.size):
+            # static-shape normalization: with resize=False the reference
+            # passes raw-resolution images through (dataset.py:126-132),
+            # which yields ragged tensors that crash collate at batch>1 and
+            # disagree with the (size,size) face mask — always end square
+            img = center_crop(img, self.size)
         return to_normalized_array(img)
 
     def _tokenize(self, text: str):
@@ -468,6 +482,12 @@ class DreamBoothDataset:
             Path(class_data_root).mkdir(parents=True, exist_ok=True)
             self.class_images_path = _image_paths(class_data_root)
             self.num_class_images = len(self.class_images_path)
+            if self.num_class_images == 0:
+                raise ValueError(
+                    f"class_data_root {class_data_root!r} contains no images; "
+                    "generate class images first (train_lora_dreambooth "
+                    "synthesizes the shortfall) or disable prior preservation"
+                )
             self._length = max(self.num_class_images, self.num_instance_images)
             self.class_prompt = class_prompt
             self.class_data_root = class_data_root
@@ -476,20 +496,30 @@ class DreamBoothDataset:
         self.color_jitter = color_jitter
         self.h_flip = h_flip
         self.rng = random.Random(seed)
+        self.resize = resize
 
     def __len__(self):
         return self._length
 
     def _load_image(self, path: Path) -> np.ndarray:
-        if not self.color_jitter:
+        if self.resize and not self.color_jitter:
             arr = load_transformed_image(str(path), self.size)
         else:
             img = Image.open(path)
             if img.mode != "RGB":
                 img = img.convert("RGB")
-            img = resize_short_side(img, self.size)
-            img = center_crop(img, self.size)
-            img = color_jitter(img, 0.2, 0.1, self.rng)
+            # reference transform order (train_lora_dreambooth.py:94-107):
+            # optional Resize -> optional CenterCrop -> optional ColorJitter
+            if self.resize:
+                img = resize_short_side(img, self.size)
+            if self.center_crop:
+                img = center_crop(img, self.size)
+            if self.color_jitter:
+                img = color_jitter(img, 0.2, 0.1, self.rng)
+            if img.size != (self.size, self.size):
+                # static-shape normalization (the reference leaves uncropped
+                # images ragged, crashing collate at batch>1): end square
+                img = center_crop(img, self.size)
             arr = to_normalized_array(img)
         if self.h_flip and self.rng.random() > 0.5:
             arr = arr[:, ::-1].copy()
@@ -571,6 +601,12 @@ class DreamBoothTiDataset:
             Path(class_data_root).mkdir(parents=True, exist_ok=True)
             self.class_images_path = _image_paths(class_data_root)
             self.num_class_images = len(self.class_images_path)
+            if self.num_class_images == 0:
+                raise ValueError(
+                    f"class_data_root {class_data_root!r} contains no images; "
+                    "generate class images first (train_lora_dreambooth "
+                    "synthesizes the shortfall) or disable prior preservation"
+                )
             self._length = max(self.num_class_images, self.num_instance_images)
             self.class_prompt = class_prompt
             self.class_data_root = class_data_root

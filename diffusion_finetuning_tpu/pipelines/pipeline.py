@@ -15,7 +15,6 @@ arguments, so ``tune_lora_scale`` sweeps and re-patching never recompile.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -488,6 +487,11 @@ class StableDiffusionPipeline:
             else list(negative_prompt)
         )
         b = len(prompts)
+        if len(negs) != b:
+            raise ValueError(
+                f"{len(negs)} negative prompts for {b} prompts — pass one "
+                "string (broadcast) or a list of matching length"
+            )
 
         if latents is not None:
             mode, lat_src = "given", latents
@@ -615,6 +619,11 @@ class StableDiffusionPipeline:
             if isinstance(negative_prompt, str)
             else list(negative_prompt)
         )
+        if len(negs) != len(prompts):
+            raise ValueError(
+                f"{len(negs)} negative prompts for {len(prompts)} prompts — "
+                "pass one string (broadcast) or a list of matching length"
+            )
         ids = self.tokenizer(
             negs + prompts, padding="max_length", truncation=True,
             max_length=self.tokenizer.model_max_length, return_tensors="np",
@@ -709,7 +718,7 @@ def patch_pipe(
                 print(f"No model provided for {name}, contained in Lora")
                 continue
             tree = lora_lib.flat_to_lora_tree(flat, targets, dtype=pipe.dtype)
-            setattr(pipe, f"{name}_lora" if name != "text_encoder" else "text_encoder_lora", tree)
+            setattr(pipe, f"{name}_lora", tree)
         tok_dict = lora_lib.parse_safeloras_embeds(tensors, metadata)
         if tok_dict:
             pipe.text_params, token = apply_learned_embed_in_clip(

@@ -90,6 +90,17 @@ def loss_step(
         )
         mask = mask + 0.05
         mask = mask / jnp.mean(mask)
+        if mask.shape[0] < model_pred.shape[0]:
+            # prior preservation doubles the batch [instance; class] but
+            # face masks exist for the instance examples only — the class
+            # half trains unmasked.  (The reference crashes on this flag
+            # combination, cli_lora_pti.py:222-245 vs collate 136-156;
+            # weighting only the instance half is the sensible semantics.)
+            pad = jnp.ones(
+                (model_pred.shape[0] - mask.shape[0],) + mask.shape[1:],
+                mask.dtype,
+            )
+            mask = jnp.concatenate([mask, pad], axis=0)
         model_pred = model_pred * mask
         target = target * mask
 

@@ -36,6 +36,23 @@ def _restore_scale_leaves(new_tree, old_tree):
     return new_tree
 
 
+def _zero_scale_grads(tree):
+    """Zero every ``scale`` leaf of a gradient tree.
+
+    The LoRA scale is a runtime knob, not a trainable (reference: a plain
+    float constant, lora.py:44).  Its gradient is nonzero (it multiplies the
+    whole delta) and must not reach the optimizer: restoring the value
+    post-step is not enough — a scale grad would still inflate the
+    clip_by_global_norm denominator and silently shrink every real update.
+    """
+    if isinstance(tree, dict):
+        return {
+            k: (jnp.zeros_like(v) if k == "scale" else _zero_scale_grads(v))
+            for k, v in tree.items()
+        }
+    return tree
+
+
 @dataclasses.dataclass
 class TrainablePartition:
     """What is being optimized in a phase.
@@ -116,6 +133,7 @@ def build_train_step(
         loss, grads = jax.value_and_grad(trainable_loss)(
             train_params, static, batch, rng
         )
+        grads = _zero_scale_grads(grads)
         if partition.ti and partition.ti_constrained:
             # frozen vocab rows receive zero gradient (masked-update TI:
             # functional form of the reference's post-step row restoration)
@@ -267,9 +285,11 @@ class FusedDispatcher:
                 self._step_fn, mesh=self.mesh,
                 state_shardings=self._state_shardings,
             )
+        # derive keys exactly like multi_step's scan does, so a group is
+        # bit-identical whether it runs fused or through this fallback
+        keys = jax.random.split(rng, n)
         losses = []
-        for batch in group:
-            rng, sub = jax.random.split(rng)
+        for batch, sub in zip(group, keys):
             state, metrics = self._tail(state, self._shard(batch), sub)
             losses.append(metrics["loss"])
         return state, jnp.stack(losses)
