@@ -32,6 +32,12 @@ from .utils.cli import Fire
 def _interpolate_flat(path_1: str, path_2: str, alpha: float):
     l1 = torch_pickle.load(path_1)
     l2 = torch_pickle.load(path_2)
+    if len(l1) != len(l2):
+        raise ValueError(
+            f"cannot lpl-merge {path_1} ({len(l1)} tensors) with {path_2} "
+            f"({len(l2)} tensors): different target sets (e.g. linear-only "
+            "vs conv-extension, or unet vs text encoder)"
+        )
     out = []
     for x1, x2 in zip(l1, l2):
         a1 = np.asarray(x1, np.float32)

@@ -9,8 +9,9 @@ the signed ``clamp_quantile`` of the concatenated factor entries
 its negation), and save the flat ``.pt`` + ``.text_encoder.pt`` pair
 loadable by ``monkeypatch_lora``.
 
-The SVDs run batched on device via ``jnp.linalg.svd`` where shapes allow,
-falling back to numpy per-matrix.
+The SVDs run per-matrix in fp32 numpy on the host (like the reference's
+torch.svd loop, cli_svd.py:67-77); distillation is a one-off offline
+conversion, not a serving path.
 """
 
 from __future__ import annotations

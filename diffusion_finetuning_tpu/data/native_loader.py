@@ -39,13 +39,16 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         path = os.path.join(_NATIVE_DIR, _LIB_NAME)
-        if not os.path.exists(path):
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except Exception:
+        # run make unconditionally: it is timestamp-based and near-free when
+        # up to date, and an existing-but-stale .so (built before a
+        # dataloader.cpp change) must not be silently used
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            if not os.path.exists(path):
                 return None
         try:
             lib = ctypes.CDLL(path)

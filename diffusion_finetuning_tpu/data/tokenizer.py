@@ -94,7 +94,9 @@ class CLIPTokenizer:
         self.bos_token = "<|startoftext|>"
         self.eos_token = "<|endoftext|>"
         self.pad_token = "<|endoftext|>"
+        self.unk_token = "<|endoftext|>"  # HF CLIPTokenizer default
         self.added_tokens: Dict[str, int] = {}
+        self._added_pattern: Optional[re.Pattern] = None
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -139,6 +141,8 @@ class CLIPTokenizer:
                 continue
             self.added_tokens[t] = len(self.encoder) + len(self.added_tokens)
             added += 1
+        if added:
+            self._added_pattern = None  # invalidate the cached split pattern
         return added
 
     def convert_tokens_to_ids(self, token: Union[str, Sequence[str]]):
@@ -185,18 +189,29 @@ class CLIPTokenizer:
         self.cache[token] = out
         return out
 
+    def _added_tokens_pattern(self):
+        """Compiled added-token split pattern, cached (tokenization is the
+        per-example hot path; rebuilding the alternation every call is
+        wasted work).  Invalidated by :meth:`add_tokens`."""
+        if self._added_pattern is None and self.added_tokens:
+            self._added_pattern = re.compile(
+                "(" + "|".join(
+                    re.escape(t) for t in
+                    sorted(self.added_tokens, key=len, reverse=True)) + ")"
+            )
+        return self._added_pattern
+
     def _tokenize_text(self, text: str) -> List[int]:
         ids: List[int] = []
         text = _whitespace_clean(html.unescape(html.unescape(text)))
         # split out added tokens BEFORE lowercasing — HF matches added
         # tokens case-sensitively on the raw text (so <TOK> placeholders
         # work); only the remaining chunks get CLIP's lowercase treatment
-        if self.added_tokens:
-            pattern = "(" + "|".join(re.escape(t) for t in
-                                     sorted(self.added_tokens, key=len, reverse=True)) + ")"
-            chunks = re.split(pattern, text)
-        else:
-            chunks = [text]
+        pattern = self._added_tokens_pattern()
+        chunks = pattern.split(text) if pattern is not None else [text]
+        # HF maps out-of-vocab BPE symbols to the unk token rather than
+        # dropping them (CLIPTokenizer: encoder.get(token, encoder[unk]))
+        unk_id = self.encoder.get(self.unk_token, len(self.encoder) - 1)
         for chunk in chunks:
             if not chunk:
                 continue
@@ -206,8 +221,8 @@ class CLIPTokenizer:
             chunk = chunk.lower()
             for token in _PAT.findall(chunk):
                 token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-                ids.extend(self.encoder[t] for t in self._bpe(token).split(" ")
-                           if t in self.encoder)
+                ids.extend(self.encoder.get(t, unk_id)
+                           for t in self._bpe(token).split(" "))
         return ids
 
     # -- HF-style call ------------------------------------------------------

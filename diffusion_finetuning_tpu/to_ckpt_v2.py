@@ -89,20 +89,27 @@ def convert_unet_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 # -- VAE ---------------------------------------------------------------------
 
-_VAE_ADDR: _RuleList = _rules([
-    (r"^encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.",
-     lambda m: f"encoder.down.{m[1]}.block.{m[2]}."),
-    (r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.",
-     lambda m: f"encoder.down.{m[1]}.downsample."),
-    (r"^decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.",
-     lambda m: f"decoder.up.{3 - int(m[1])}.block.{m[2]}."),
-    (r"^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.",
-     lambda m: f"decoder.up.{3 - int(m[1])}.upsample."),
-    (r"^(encoder|decoder)\.mid_block\.resnets\.(\d+)\.",
-     lambda m: f"{m[1]}.mid.block_{int(m[2]) + 1}."),
-    (r"^(encoder|decoder)\.mid_block\.attentions\.0\.",
-     lambda m: f"{m[1]}.mid.attn_1."),
-])
+def _vae_addr_rules(n_up: int) -> _RuleList:
+    """VAE address rules; LDM reverses decoder up-block order, so the
+    reversal index depends on the actual up-block count (4 for SD, but
+    custom/tiny VAEs differ — a hardcoded ``3 - i`` would silently write
+    wrong keys for them)."""
+    hi = n_up - 1
+    return _rules([
+        (r"^encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.",
+         lambda m: f"encoder.down.{m[1]}.block.{m[2]}."),
+        (r"^encoder\.down_blocks\.(\d+)\.downsamplers\.0\.",
+         lambda m: f"encoder.down.{m[1]}.downsample."),
+        (r"^decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.",
+         lambda m: f"decoder.up.{hi - int(m[1])}.block.{m[2]}."),
+        (r"^decoder\.up_blocks\.(\d+)\.upsamplers\.0\.",
+         lambda m: f"decoder.up.{hi - int(m[1])}.upsample."),
+        (r"^(encoder|decoder)\.mid_block\.resnets\.(\d+)\.",
+         lambda m: f"{m[1]}.mid.block_{int(m[2]) + 1}."),
+        (r"^(encoder|decoder)\.mid_block\.attentions\.0\.",
+         lambda m: f"{m[1]}.mid.attn_1."),
+    ])
+
 
 _VAE_ATTN = [
     ("group_norm.", "norm."),
@@ -120,8 +127,14 @@ _VAE_ATTN = [
 
 def convert_vae_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = {}
+    n_up = 1 + max(
+        (int(m.group(1)) for k in sd
+         for m in [re.match(r"decoder\.up_blocks\.(\d+)\.", k)] if m),
+        default=3,
+    )
+    vae_addr = _vae_addr_rules(n_up)
     for k, v in sd.items():
-        nk = _apply_addr(k, _VAE_ADDR)
+        nk = _apply_addr(k, vae_addr)
         if ".attn_1." in nk:
             for hf, ldm in _VAE_ATTN:
                 nk = nk.replace(hf, ldm)

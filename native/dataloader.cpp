@@ -62,6 +62,10 @@ uint8_t* decode_jpeg(FILE* f, int* w, int* h) {
   *w = cinfo.output_width;
   *h = cinfo.output_height;
   out = static_cast<uint8_t*>(malloc(size_t(*w) * *h * 3));
+  if (!out) {  // absurd claimed dimensions: fail per-image, don't segfault
+    jpeg_destroy_decompress(&cinfo);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out + size_t(cinfo.output_scanline) * *w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -80,10 +84,13 @@ uint8_t* decode_png(FILE* f, int* w, int* h) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return nullptr;
   }
+  // volatile raw pointers only: C++ objects with destructors must not be
+  // mutated between setjmp and longjmp (indeterminate after the jump)
   uint8_t* volatile out = nullptr;
-  std::vector<png_bytep> rows;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
     free(out);
     return nullptr;
   }
@@ -105,10 +112,17 @@ uint8_t* decode_png(FILE* f, int* w, int* h) {
     png_set_strip_alpha(png);
   png_read_update_info(png, info);
   out = static_cast<uint8_t*>(malloc(size_t(*w) * *h * 3));
-  rows.resize(*h);
+  rows = static_cast<png_bytep*>(malloc(size_t(*h) * sizeof(png_bytep)));
+  if (!out || !rows) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
+    free(out);
+    return nullptr;
+  }
   for (int y = 0; y < *h; ++y) rows[y] = out + size_t(y) * *w * 3;
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
   png_destroy_read_struct(&png, &info, nullptr);
+  free(rows);
   return out;
 }
 
@@ -264,8 +278,21 @@ uint8_t* dft_decode_rgb(const char* path, int* w, int* h) {
   return rgb;
 }
 
+// C++ exceptions (e.g. std::bad_alloc from an extreme-aspect resize buffer)
+// must not cross the C ABI into ctypes or escape into std::thread (both
+// terminate the host process) — convert to a per-image error code so the
+// Python side can fall back to PIL.
+int load_one_noexcept(const char* path, int size, int flip,
+                      float* out) noexcept {
+  try {
+    return load_one_impl(path, size, flip, out);
+  } catch (...) {
+    return 3;
+  }
+}
+
 int dft_load_one(const char* path, int size, int flip, float* out) {
-  return load_one_impl(path, size, flip, out);
+  return load_one_noexcept(path, size, flip, out);
 }
 
 int dft_load_batch(const char** paths, int n, int size, const int* flips,
@@ -279,8 +306,8 @@ int dft_load_batch(const char** paths, int n, int size, const int* flips,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int rc = load_one_impl(paths[i], size, flips ? flips[i] : 0,
-                             out + size_t(i) * size * size * 3);
+      int rc = load_one_noexcept(paths[i], size, flips ? flips[i] : 0,
+                                 out + size_t(i) * size * size * 3);
       if (rc != 0) status.store(rc);
     }
   };

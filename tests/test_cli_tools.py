@@ -135,6 +135,9 @@ def test_vae_key_remap_and_attn_reshape():
         "encoder.down_blocks.2.resnets.1.conv1.weight": np.zeros((1, 1, 3, 3), np.float32),
         "decoder.up_blocks.1.resnets.0.conv_shortcut.weight": np.zeros((1, 1, 1, 1), np.float32),
         "decoder.up_blocks.0.upsamplers.0.conv.bias": np.zeros((4,), np.float32),
+        # present so the converter infers the SD-standard 4 up blocks (the
+        # reversal index adapts to the actual block count)
+        "decoder.up_blocks.3.resnets.0.conv1.weight": np.zeros((1, 1, 3, 3), np.float32),
         "encoder.mid_block.attentions.0.query.weight": np.zeros((8, 8), np.float32),
         "encoder.mid_block.attentions.0.group_norm.weight": np.zeros((8,), np.float32),
         "encoder.mid_block.resnets.0.conv2.weight": np.zeros((1, 1, 3, 3), np.float32),
@@ -145,6 +148,17 @@ def test_vae_key_remap_and_attn_reshape():
     assert "encoder.down.2.block.1.conv1.weight" in out
     assert "decoder.up.2.block.0.nin_shortcut.weight" in out
     assert "decoder.up.3.upsample.conv.bias" in out
+    assert "decoder.up.0.block.0.conv1.weight" in out  # up_blocks.3 reversed
+
+    # non-4-block VAE: the reversal adapts (a 2-block decoder maps
+    # up_blocks.1 -> up.0, not up.2)
+    tiny = {
+        "decoder.up_blocks.0.resnets.0.conv1.weight": np.zeros((1,), np.float32),
+        "decoder.up_blocks.1.resnets.0.conv1.weight": np.zeros((1,), np.float32),
+    }
+    out2 = convert_vae_state_dict(tiny)
+    assert set(out2) == {"decoder.up.1.block.0.conv1.weight",
+                         "decoder.up.0.block.0.conv1.weight"}
     assert "encoder.mid.attn_1.q.weight" in out
     assert out["encoder.mid.attn_1.q.weight"].shape == (8, 8, 1, 1)
     assert "encoder.mid.attn_1.norm.weight" in out
