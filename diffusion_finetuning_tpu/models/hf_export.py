@@ -242,9 +242,40 @@ def save_pretrained(
                     shutil.copy(os.path.join(src, f), os.path.join(dst, f))
         idx = os.path.join(source_dir, "model_index.json")
         if os.path.exists(idx):
-            shutil.copy(idx, os.path.join(out_dir, "model_index.json"))
+            # model_index.json may reference components we do not rewrite
+            # (safety_checker, feature_extractor, ...): copy them wholesale
+            # when present, and DROP entries whose directory is still
+            # missing — otherwise diffusers refuses to load the export
+            with open(idx) as f:
+                index = json.load(f)
+            for name in list(index):
+                if name.startswith("_") or not isinstance(index[name], list):
+                    continue
+                if os.path.isdir(os.path.join(out_dir, name)):
+                    continue
+                src = os.path.join(source_dir, name)
+                if os.path.isdir(src):
+                    shutil.copytree(
+                        src, os.path.join(out_dir, name), dirs_exist_ok=True)
+                else:
+                    index[name] = [None, None]
+            with open(os.path.join(out_dir, "model_index.json"), "w") as f:
+                json.dump(index, f, indent=2)
     else:
         _write_configs(pipe, out_dir)
+        _write_tokenizer_files(pipe.tokenizer, os.path.join(out_dir, "tokenizer"))
+
+
+def _write_tokenizer_files(tok, d: str) -> None:
+    """Persist the in-memory tokenizer (vocab.json + merges.txt) so a
+    from-scratch export is reloadable by our own from_pretrained."""
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(tok.encoder, f)
+    merges = [m for m, _ in sorted(tok.bpe_ranks.items(), key=lambda kv: kv[1])]
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+        f.write("\n".join(" ".join(m) for m in merges))
 
 
 def _write_configs(pipe, out_dir: str) -> None:

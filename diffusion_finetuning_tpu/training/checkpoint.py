@@ -46,15 +46,23 @@ def save_train_state(
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, to_save, force=True)
-    else:  # numpy fallback
-        os.makedirs(path, exist_ok=True)
+    else:  # numpy fallback — write to a tmp dir and rename so a preemption
+        # mid-save never leaves a truncated step_N that latest_checkpoint
+        # would pick up after retention pruned the good ones
+        import shutil
+
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         flat, treedef = jax.tree_util.tree_flatten(to_save)
-        np.savez(os.path.join(path, "state.npz"),
+        np.savez(os.path.join(tmp, "state.npz"),
                  **{str(i): a for i, a in enumerate(flat)})
         # saved so restore can detect structure drift (it is compared, not
         # just informational)
-        with open(os.path.join(path, "treedef.txt"), "w") as f:
+        with open(os.path.join(tmp, "treedef.txt"), "w") as f:
             f.write(str(treedef))
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
 
     # retention
     steps = sorted(

@@ -175,7 +175,11 @@ def adamw8bit(
 
     def update(grads, state, params):
         count = state["count"] + 1
-        sched_lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedule evaluated at the PRE-increment count, matching
+        # optax.adamw (first update uses lr(0) — diffusers LambdaLR step-0
+        # semantics); bias correction still uses the post-increment count
+        sched_lr = (learning_rate(state["count"])
+                    if callable(learning_rate) else learning_rate)
 
         def per_leaf(g, st, p):
             g = g.astype(jnp.float32)

@@ -31,6 +31,16 @@ def Fire(fn: Callable, argv: Optional[Sequence[str]] = None) -> Any:
     argv = list(sys.argv[1:] if argv is None else argv)
     args = []
     kwargs = {}
+    # signature-aware boolean flags: ``--overwrite lora.pt`` must not
+    # swallow the positional when the parameter's default is a bool (real
+    # fire does the same); explicit true/false after the flag still works
+    try:
+        bool_params = {
+            name for name, p in inspect.signature(fn).parameters.items()
+            if isinstance(p.default, bool)
+        }
+    except (TypeError, ValueError):
+        bool_params = set()
     i = 0
     while i < len(argv):
         tok = argv[i]
@@ -39,11 +49,18 @@ def Fire(fn: Callable, argv: Optional[Sequence[str]] = None) -> Any:
             if "=" in key:
                 key, val = key.split("=", 1)
                 kwargs[key.replace("-", "_")] = _parse_value(val)
-            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-                kwargs[key.replace("-", "_")] = _parse_value(argv[i + 1])
-                i += 1
             else:
-                kwargs[key.replace("-", "_")] = True
+                name = key.replace("-", "_")
+                nxt = argv[i + 1] if i + 1 < len(argv) else None
+                if name in bool_params and (
+                    nxt is None or nxt.lower() not in ("true", "false")
+                ):
+                    kwargs[name] = True
+                elif nxt is not None and not nxt.startswith("--"):
+                    kwargs[name] = _parse_value(nxt)
+                    i += 1
+                else:
+                    kwargs[name] = True
         else:
             args.append(_parse_value(tok))
         i += 1

@@ -60,6 +60,8 @@ EXAMPLE_PROMPTS = [
 def image_grid(_imgs: List[Image.Image], rows: Optional[int] = None,
                cols: Optional[int] = None) -> Image.Image:
     """Paste images into a grid (reference utils.py:54-70)."""
+    if not _imgs:
+        raise ValueError("image_grid: no images to arrange")
     if rows is None and cols is None:
         rows = cols = math.ceil(len(_imgs) ** 0.5)
     if rows is None:
@@ -193,6 +195,10 @@ def visualize_progress(
         alls.sort(key=os.path.getmtime)
     else:
         alls = list(path_alls)
+    if not alls:
+        # fail BEFORE the (potentially minutes-long) pipeline load
+        raise ValueError(
+            f"visualize_progress: no checkpoints matched {path_alls!r}")
 
     pipe = StableDiffusionPipeline.from_pretrained(model_id)
     print(f"Found {len(alls)} checkpoints")

@@ -88,6 +88,17 @@ class MetricLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, float(v), step)
         if self._wandb is not None:
+            if getattr(self._wandb, "run", None) is None:
+                # wandb requires the caller to have called wandb.init (the
+                # PTI trainer does); without an active run, log() raises —
+                # disable the sink once with a warning instead
+                import warnings
+
+                warnings.warn(
+                    "MetricLogger: wandb.init() was never called; disabling "
+                    "the wandb sink", stacklevel=2)
+                self._wandb = None
+                return
             self._wandb.log(dict(metrics), step=step)
 
     def close(self) -> None:
