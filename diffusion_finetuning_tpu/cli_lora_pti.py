@@ -363,7 +363,13 @@ def train(
         while global_step < num_steps:
             # never straddle a save/eval boundary with a fused group, so
             # checkpoint cadence matches the reference exactly
-            until_save = save_steps - (global_step % save_steps)
+            # save_steps=0 means "never save periodically" (the reference
+            # crashes on 0 — cli_lora_pti.py:359 '% save_steps' — but a
+            # production trainer honors the obvious contract)
+            until_save = (
+                save_steps - (global_step % save_steps)
+                if save_steps else num_steps - global_step
+            )
             take = min(dispatcher.spd, num_steps - global_step, until_save)
             group = [next(stream) for _ in range(take)]
             rng, key = jax.random.split(rng)
@@ -376,7 +382,7 @@ def train(
             if global_step % 50 < take or global_step == num_steps:
                 print(f"{label} step {global_step}/{num_steps} "
                       f"loss={float(losses[-1]):.4f}")
-            if global_step % save_steps == 0:
+            if save_steps and global_step % save_steps == 0:
                 host = jax.device_get(
                     {k: v for k, v in state.items() if k != "static"}
                 )

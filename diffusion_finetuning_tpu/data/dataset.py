@@ -405,7 +405,12 @@ class PivotalTuningDatasetCapation:
             # static-shape normalization: with resize=False the reference
             # passes raw-resolution images through (dataset.py:126-132),
             # which yields ragged tensors that crash collate at batch>1 and
-            # disagree with the (size,size) face mask — always end square
+            # disagree with the (size,size) face mask — always end square.
+            # Undersized images are resized UP first: PIL crops beyond the
+            # image bounds zero-fill, which would silently train on black
+            # borders.
+            if min(img.size) < self.size:
+                img = resize_short_side(img, self.size)
             img = center_crop(img, self.size)
         return to_normalized_array(img)
 

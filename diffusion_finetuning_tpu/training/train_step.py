@@ -259,6 +259,15 @@ class FusedDispatcher:
         self._size_seen[n] = self._size_seen.get(n, 0) + 1
         if self._size_seen[n] < 2:
             return None  # one-off tail: not worth a compile
+        # Full-pipeline compiles can cost 10-30 min over a remote-runtime TPU
+        # tunnel; a recurring clipped size usually means spd does not divide
+        # the save/eval window.  Say so rather than silently stalling.
+        print(
+            f"FusedDispatcher: compiling a second fused executable for "
+            f"recurring group size {n} (spd={self.spd}); pick "
+            f"steps_per_dispatch dividing the save/eval window to avoid "
+            f"the extra compile"
+        )
         fn = jit_train_step(
             multi_step(self._step_fn, n), mesh=self.mesh,
             state_shardings=self._state_shardings, batch_ndims=2,
