@@ -15,6 +15,7 @@ arguments, so ``tune_lora_scale`` sweeps and re-patching never recompile.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -159,6 +160,12 @@ class StableDiffusionPipeline:
         # and replicates params — XLA places per-chip UNet work and the ICI
         # transfers; one __call__ drives every chip.
         self.mesh = None
+        # Serializes LoRA/TI hot-swaps against concurrent generation: writers
+        # (patch_pipe, tune_lora_scale_pipe) and the snapshot reader
+        # (_generation_params) hold this, so a GenerationServer batch always
+        # sees one consistent (params, lora) tree set — never e.g. a new UNet
+        # LoRA paired with stale text params.
+        self._swap_lock = threading.RLock()
 
     @property
     def vae_scale_factor(self) -> int:
@@ -293,10 +300,23 @@ class StableDiffusionPipeline:
         return jax.jit(run, in_shardings=in_sh, out_shardings=dat)
 
     # -- LoRA materialization ----------------------------------------------
+    def invalidate_merged_cache(self) -> None:
+        """Drop cached merged-LoRA kernels.  Call this after mutating a LoRA
+        tree IN PLACE (e.g. assigning a ``scale`` leaf directly into
+        ``pipe.unet_lora``) — the cache below is keyed on tree identity and
+        cannot see such edits.  The supported APIs (``patch_pipe``,
+        ``tune_lora_scale_pipe``, ``monkeypatch_*``) replace trees
+        functionally and never need this."""
+        with self._swap_lock:
+            self._merged_cache.clear()
+
     def _merged_params(self, which: str):
         """Params with the LoRA delta folded in, cached per (params, lora)
         tree identity — ``patch_pipe`` / ``tune_lora_scale`` swap trees
-        functionally, so identity change == invalidation."""
+        functionally, so identity change == invalidation.  In-place edits to
+        a lora tree (same dict object) are invisible to this cache; use
+        :meth:`invalidate_merged_cache` after such edits (or, better, swap
+        trees functionally)."""
         params = self.unet_params if which == "unet" else self.text_params
         lora = self.unet_lora if which == "unet" else self.text_encoder_lora
         hit = self._merged_cache.get(which)
@@ -318,15 +338,18 @@ class StableDiffusionPipeline:
 
     def _generation_params(self):
         """(unet_params, unet_lora, text_params, text_lora) for generation,
-        applying the materialization policy."""
-        unet_params, unet_lora = self.unet_params, self.unet_lora
-        text_params, text_lora = self.text_params, self.text_encoder_lora
-        if self.materialize_lora:
-            if unet_lora is not None:
-                unet_params, unet_lora = self._merged_params("unet"), None
-            if text_lora is not None:
-                text_params, text_lora = self._merged_params("text"), None
-        return unet_params, unet_lora, text_params, text_lora
+        applying the materialization policy.  Holds ``_swap_lock`` so a
+        concurrent ``patch_pipe``/``tune_lora_scale_pipe`` can never hand a
+        generation a mixed old/new tree set."""
+        with self._swap_lock:
+            unet_params, unet_lora = self.unet_params, self.unet_lora
+            text_params, text_lora = self.text_params, self.text_encoder_lora
+            if self.materialize_lora:
+                if unet_lora is not None:
+                    unet_params, unet_lora = self._merged_params("unet"), None
+                if text_lora is not None:
+                    text_params, text_lora = self._merged_params("text"), None
+            return unet_params, unet_lora, text_params, text_lora
 
     # -- text encoding ------------------------------------------------------
     def _encode_fn(self, with_lora: bool):
@@ -677,7 +700,13 @@ def patch_pipe(
     text_target_replace_module: set = lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
 ) -> StableDiffusionPipeline:
     """One-call patch of a pipeline from ``.pt`` sidecar files or a
-    consolidated ``.safetensors`` (reference lora.py:672-732)."""
+    consolidated ``.safetensors`` (reference lora.py:672-732).
+
+    Hot-swap safe: new trees are built first, then installed atomically under
+    the pipeline's swap lock, so concurrent generations (GenerationServer)
+    see either the fully-old or the fully-new LoRA/TI state.
+    """
+    updates: Dict[str, Any] = {}
     if maybe_unet_path.endswith(".pt"):
         if maybe_unet_path.endswith(".ti.pt"):
             unet_path = maybe_unet_path[:-6] + ".pt"
@@ -688,23 +717,21 @@ def patch_pipe(
         ti_path = lora_lib._ti_lora_path(unet_path)
         text_path = lora_lib._text_lora_path(unet_path)
 
-        import os
-
         if patch_unet:
             print("LoRA : Patching Unet")
             targets = pipe.lora_targets("unet", unet_target_replace_module)
-            pipe.unet_lora = lora_lib.monkeypatch_or_replace_lora(
+            updates["unet_lora"] = lora_lib.monkeypatch_or_replace_lora(
                 unet_path, targets, r=r, dtype=pipe.dtype
             )
         if patch_text:
             print("LoRA : Patching text encoder")
             targets = pipe.lora_targets("text_encoder", text_target_replace_module)
-            pipe.text_encoder_lora = lora_lib.monkeypatch_or_replace_lora(
+            updates["text_encoder_lora"] = lora_lib.monkeypatch_or_replace_lora(
                 text_path, targets, r=r, dtype=pipe.dtype
             )
         if patch_ti:
             print("LoRA : Patching token input")
-            pipe.text_params, token = load_learned_embed_in_clip(
+            updates["text_params"], token = load_learned_embed_in_clip(
                 ti_path, pipe.text_params, pipe.tokenizer,
                 token=token, idempotent=idempotent_token,
             )
@@ -718,19 +745,24 @@ def patch_pipe(
                 print(f"No model provided for {name}, contained in Lora")
                 continue
             tree = lora_lib.flat_to_lora_tree(flat, targets, dtype=pipe.dtype)
-            setattr(pipe, f"{name}_lora", tree)
+            updates[f"{name}_lora"] = tree
         tok_dict = lora_lib.parse_safeloras_embeds(tensors, metadata)
         if tok_dict:
-            pipe.text_params, token = apply_learned_embed_in_clip(
+            updates["text_params"], token = apply_learned_embed_in_clip(
                 tok_dict, pipe.text_params, pipe.tokenizer,
                 token=token, idempotent=idempotent_token,
             )
+    with pipe._swap_lock:
+        for attr, value in updates.items():
+            setattr(pipe, attr, value)
     return pipe
 
 
 def tune_lora_scale_pipe(pipe: StableDiffusionPipeline, alpha: float = 1.0,
                          which: str = "both") -> None:
-    if which in ("both", "unet") and pipe.unet_lora is not None:
-        pipe.unet_lora = lora_lib.tune_lora_scale(pipe.unet_lora, alpha)
-    if which in ("both", "text") and pipe.text_encoder_lora is not None:
-        pipe.text_encoder_lora = lora_lib.tune_lora_scale(pipe.text_encoder_lora, alpha)
+    with pipe._swap_lock:
+        if which in ("both", "unet") and pipe.unet_lora is not None:
+            pipe.unet_lora = lora_lib.tune_lora_scale(pipe.unet_lora, alpha)
+        if which in ("both", "text") and pipe.text_encoder_lora is not None:
+            pipe.text_encoder_lora = lora_lib.tune_lora_scale(
+                pipe.text_encoder_lora, alpha)

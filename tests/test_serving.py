@@ -119,3 +119,76 @@ def test_submit_after_close_raises_not_hangs(pipe):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit("a", height=16, width=16, steps=1)
+
+
+def test_hot_swap_is_atomic(tmp_path):
+    """Hammer GenerationServer while patch_pipe swaps between two LoRAs:
+    every image must match one generated from a SINGLE (params, lora)
+    snapshot — never a mix (e.g. new UNet LoRA + stale text LoRA).
+    Regression test for the swap lock in pipelines.pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu import lora as L
+    from diffusion_finetuning_tpu.pipelines.pipeline import patch_pipe
+    from tests.test_cli_tools import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    unet_targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    text_targets = pipe.lora_targets(
+        "text_encoder", L.TEXT_ENCODER_DEFAULT_TARGET_REPLACE)
+
+    def random_lora(targets, seed):
+        tree = L.inject_trainable_lora(targets, jax.random.PRNGKey(seed), r=1)
+
+        def rnd(path, leaf):
+            name = path[-1].key
+            if name == "scale":
+                return leaf
+            k = jax.random.fold_in(jax.random.PRNGKey(seed), hash(
+                jax.tree_util.keystr(path)) % (2**31))
+            return 0.3 * jax.random.normal(k, leaf.shape, leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(rnd, tree)
+
+    paths = []
+    for seed in (1, 2):
+        p = str(tmp_path / f"lora_{seed}.safetensors")
+        L.save_all(random_lora(unet_targets, seed),
+                   random_lora(text_targets, 100 + seed),
+                   unet_targets, text_targets, None, p)
+        paths.append(p)
+
+    kw = dict(height=16, width=16, num_inference_steps=2, scheduler="ddim",
+              seed=7, output_type="np")
+
+    refs = []
+    for p in paths:
+        patch_pipe(pipe, p, patch_unet=True, patch_text=True)
+        refs.append(np.asarray(pipe("a photo", **kw)))
+    # the two LoRAs must actually produce different images for the test to
+    # mean anything
+    assert np.abs(refs[0] - refs[1]).max() > 0
+
+    stop = threading.Event()
+
+    def patcher():
+        i = 0
+        while not stop.is_set():
+            patch_pipe(pipe, paths[i % 2], patch_unet=True, patch_text=True)
+            i += 1
+
+    t = threading.Thread(target=patcher, daemon=True)
+    t.start()
+    try:
+        mixed = []
+        for trial in range(12):
+            img = np.asarray(pipe("a photo", **kw))
+            ok_a = np.array_equal(img, refs[0])
+            ok_b = np.array_equal(img, refs[1])
+            if not (ok_a or ok_b):
+                mixed.append(trial)
+        assert not mixed, f"mixed-snapshot generations at trials {mixed}"
+    finally:
+        stop.set()
+        t.join(timeout=10)
