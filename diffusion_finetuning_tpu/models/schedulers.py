@@ -329,12 +329,24 @@ class DPMSolverMultistepScheduler:
             else self.alphas_cumprod[0]
         )
 
+    def _timesteps_np(self, num_inference_steps: int) -> np.ndarray:
+        # diffusers DPMSolverMultistepScheduler "linspace" spacing: the grid
+        # REACHES t = T-1 (full noise) for every step count, unlike the
+        # DDIM/PNDM arange convention whose first timestep drifts down to
+        # T - T//n (e.g. 949 at n=80) and skips the high-noise region.
+        return (
+            np.linspace(0, self.num_train_timesteps - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int32)
+        )
+
     def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
-        step = self.num_train_timesteps // num_inference_steps
-        ts = (np.arange(0, num_inference_steps) * step).round()[::-1].astype(np.int32)
-        ts = ts + self.config.steps_offset
-        ts = np.clip(ts, 0, self.num_train_timesteps - 1)
-        return jnp.asarray(ts)
+        return jnp.asarray(self._timesteps_np(num_inference_steps))
+
+    def _prev_timesteps_np(self, num_inference_steps: int) -> np.ndarray:
+        ts = self._timesteps_np(num_inference_steps)
+        # -1 = terminal boundary (final_alpha_cumprod), as in DDIM
+        return np.append(ts[1:], -1).astype(np.int32)
 
     def init_state(self, sample_shape, dtype=jnp.float32):
         return {
@@ -363,8 +375,12 @@ class DPMSolverMultistepScheduler:
         return alpha, sigma, lam
 
     def step(self, model_output, timestep, sample, state, num_inference_steps):
-        stride = self.num_train_timesteps // num_inference_steps
-        prev_t = timestep - stride
+        # the linspace grid has non-uniform integer strides: the previous
+        # timestep comes from the per-n table, indexed by the step counter
+        # carried in ``state`` (callers walk ``timesteps(n)`` in order)
+        prev_table = jnp.asarray(self._prev_timesteps_np(num_inference_steps))
+        prev_t = prev_table[jnp.minimum(state["counter"],
+                                        num_inference_steps - 1)]
 
         x0 = self._x0(model_output, sample, timestep)
         if self.config.clip_sample:

@@ -223,3 +223,55 @@ def test_dpm_solver_v_prediction():
         v = jnp.zeros_like(x)
         x, st = dpm.step(v, int(t), x, st, 5)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_dpm_20_25_steps_beat_ddim_50_on_nonlinear_model():
+    """Numerical backing for the serving-default claim in
+    DPMSolverMultistepScheduler's docstring ("20-25 steps reach what DDIM
+    needs 50 for"): on a generic NONLINEAR eps model (fixed random MLP —
+    the linear exact-eps toy above is solved exactly by every sampler), the
+    DPM++(2M) 20- and 25-step final latents are closer to a 200-step DDIM
+    ground truth than DDIM-50 is."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        DDIMScheduler,
+        DPMSolverMultistepScheduler,
+        SchedulerConfig,
+    )
+
+    cfg = SchedulerConfig()
+    dim = 8
+    rng = np.random.default_rng(0)
+    W1 = jnp.asarray(rng.standard_normal((dim, 32)) / np.sqrt(dim), jnp.float32)
+    W2 = jnp.asarray(rng.standard_normal((32, dim)) / np.sqrt(32), jnp.float32)
+
+    def eps_model(x, t):
+        # smooth, nonlinear in x and t: a generic probability-flow ODE field
+        tf = jnp.float32(t) / 1000.0
+        h = jnp.tanh(x @ W1 + 3.0 * tf)
+        return 0.8 * (h @ W2) + 0.4 * x * (1.0 - tf)
+
+    xT = jnp.asarray(rng.standard_normal((1, dim)), jnp.float32)
+
+    def run_ddim(n):
+        sch = DDIMScheduler(cfg)
+        x = xT
+        for t in np.asarray(sch.timesteps(n)):
+            x = sch.step(eps_model(x, int(t)), int(t), x, n)
+        return x
+
+    def run_dpm(n):
+        sch = DPMSolverMultistepScheduler(cfg)
+        x = xT
+        st = sch.init_state(x.shape, x.dtype)
+        for t in np.asarray(sch.timesteps(n)):
+            x, st = sch.step(eps_model(x, int(t)), int(t), x, st, n)
+        return x
+
+    truth = run_ddim(200)
+    scale = float(jnp.abs(truth).max())
+    err_ddim50 = float(jnp.abs(run_ddim(50) - truth).max()) / scale
+    err_dpm20 = float(jnp.abs(run_dpm(20) - truth).max()) / scale
+    err_dpm25 = float(jnp.abs(run_dpm(25) - truth).max()) / scale
+
+    assert err_dpm20 < err_ddim50, (err_dpm20, err_ddim50)
+    assert err_dpm25 < err_ddim50, (err_dpm25, err_ddim50)
