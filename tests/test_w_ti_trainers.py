@@ -74,6 +74,10 @@ def test_w_ti_staged_end_to_end(tmp_path):
     assert set(ti) == {"<krk>"}
     assert os.path.exists(os.path.join(out, "lora_weight.safetensors"))
     assert os.path.exists(os.path.join(out, "lora_weight.text_encoder.pt"))
+    # tensorboard event files under --logging_dir (reference logs loss/lr
+    # per step via accelerator.log, train_lora_w_ti.py:645, 1161)
+    logdir = os.path.join(out, args.logging_dir)
+    assert any(f.startswith("events") for f in os.listdir(logdir))
 
 
 def test_pt_caption_end_to_end(tmp_path):
@@ -115,3 +119,6 @@ def test_pt_caption_end_to_end(tmp_path):
     assert not os.path.exists(os.path.join(out, "lora_weight.safetensors"))
     # class image was synthesized with a sha1-suffixed name
     assert len(os.listdir(class_dir)) == 1
+    # tensorboard events appear for the caption variant too
+    assert any(f.startswith("events")
+               for f in os.listdir(os.path.join(out, args.logging_dir)))

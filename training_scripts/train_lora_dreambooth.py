@@ -347,6 +347,12 @@ def main(args):
         if mesh_lib.is_main_process() else None
     )
     timer = StepTimer()
+    # host-side mirror of the UNet group's schedule for the lr scalar
+    # (reference logs lr_scheduler.get_last_lr()[0], :959-961)
+    from diffusion_finetuning_tpu.training.optim import lr_schedule as _lr_sched
+
+    lr_now = _lr_sched(args.lr_scheduler, lr, args.lr_warmup_steps,
+                       args.max_train_steps)
 
     def save_periodic(state_host, epoch, step):
         filename_unet = f"{args.output_dir}/lora_weight_e{epoch}_s{step}.pt"
@@ -386,7 +392,7 @@ def main(args):
             loss = float(jax.device_get(losses)[-1])
             print(f"step {global_step}/{args.max_train_steps} "
                   f"loss={loss:.4f} ({timer.steps_per_sec:.2f} steps/s)")
-            logger.log({"loss": loss,
+            logger.log({"loss": loss, "lr": float(lr_now(global_step)),
                         "steps_per_sec": timer.steps_per_sec}, global_step)
         if (args.save_steps and global_step - last_save >= args.save_steps
                 and mesh_lib.is_main_process()):
@@ -406,6 +412,7 @@ def main(args):
             last_save = global_step
 
     mesh_lib.barrier("end of training")
+    logger.close()
     state = jax.device_get(state)
     print("\n\nLora TRAINING DONE!\n\n")
 

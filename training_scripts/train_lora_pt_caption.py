@@ -54,12 +54,7 @@ class _CaptionDataset(PivotalTuningDatasetCapation):
 
 
 def main(args):
-    orig = base.DreamBoothTiDataset
-    base.DreamBoothTiDataset = _CaptionDataset
-    try:
-        return base.main(args)
-    finally:
-        base.DreamBoothTiDataset = orig
+    return base.main(args, dataset_cls=_CaptionDataset)
 
 
 if __name__ == "__main__":

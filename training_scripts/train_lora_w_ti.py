@@ -119,7 +119,9 @@ def parse_args(input_args=None):
     return args
 
 
-def main(args):
+def main(args, dataset_cls=None):
+    if dataset_cls is None:
+        dataset_cls = DreamBoothTiDataset
     rng = jax.random.PRNGKey(args.seed or 0)
     dtype = jnp.bfloat16 if args.mixed_precision in ("fp16", "bf16") else jnp.float32
     pipe = StableDiffusionPipeline.from_pretrained(
@@ -193,7 +195,7 @@ def main(args):
 
     scheduler = DDPMScheduler(pipe.scheduler_config)
 
-    train_dataset = DreamBoothTiDataset(
+    train_dataset = dataset_cls(
         instance_data_root=args.instance_data_dir,
         placeholder_token=args.placeholder_token,
         stochastic_attribute=args.stochastic_attribute,
@@ -302,6 +304,37 @@ def main(args):
     os.makedirs(args.output_dir, exist_ok=True)
     global_step, last_save = 0, 0
 
+    # loss + per-group lr + steps/s to tensorboard (reference logs loss/lr
+    # per step via Accelerator(log_with="tensorboard") + accelerator.log,
+    # train_lora_w_ti.py:645, 1161)
+    from diffusion_finetuning_tpu.training.optim import lr_schedule as _lr_sched
+    from diffusion_finetuning_tpu.utils.profiling import MetricLogger, StepTimer
+
+    logger = MetricLogger(
+        log_dir=os.path.join(args.output_dir, args.logging_dir)
+        if mesh_lib.is_main_process() else None
+    )
+    timer = StepTimer()
+    _base_lrs = {
+        "lr": _lr_sched(args.lr_scheduler, lr, args.lr_warmup_steps,
+                        args.max_train_steps),
+        "lr_text": _lr_sched(args.lr_scheduler, lr_text, args.lr_warmup_steps,
+                             args.max_train_steps),
+        "lr_ti": _lr_sched(args.lr_scheduler, lr_ti, args.lr_warmup_steps,
+                           args.max_train_steps),
+    }
+
+    def _lrs_at(step):
+        # host-side mirror of the in-jit staged gating (ParamGroup.lr_gate)
+        if args.just_ti:
+            return {"lr_ti": float(_base_lrs["lr_ti"](step))}
+        on = float(step >= unfreeze)
+        return {
+            "lr": float(_base_lrs["lr"](step)) * on,
+            "lr_text": float(_base_lrs["lr_text"](step)) * on,
+            "lr_ti": float(_base_lrs["lr_ti"](step)) * (1.0 - on),
+        }
+
     def save_periodic(sh, epoch, step):
         base = f"{args.output_dir}/lora_weight_e{epoch}_s{step}"
         if not args.just_ti:
@@ -333,15 +366,21 @@ def main(args):
         rng, key = jax.random.split(rng)
         state, losses = dispatcher.run(state, group, key)
         global_step += len(group)
+        for _ in range(len(group)):
+            timer.tick()
         if global_step % 50 < len(group) or global_step >= args.max_train_steps:
+            loss = float(jax.device_get(losses)[-1])
             print(f"step {global_step}/{args.max_train_steps} "
-                  f"loss={float(jax.device_get(losses)[-1]):.4f}")
+                  f"loss={loss:.4f} ({timer.steps_per_sec:.2f} steps/s)")
+            logger.log({"loss": loss, "steps_per_sec": timer.steps_per_sec,
+                        **_lrs_at(global_step)}, global_step)
         if (args.save_steps and global_step - last_save >= args.save_steps
                 and mesh_lib.is_main_process()):
             save_periodic(jax.device_get(state), epoch, global_step)
             last_save = global_step
 
     mesh_lib.barrier("end of training")
+    logger.close()
     sh = jax.device_get(state)
     print("\n\nLora TRAINING DONE!\n\n")
 
