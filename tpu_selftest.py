@@ -1,0 +1,252 @@
+"""On-chip numerics self-test for the compiled (non-interpret) Pallas kernels.
+
+Every pytest numerics check of the flash-attention kernel runs
+``interpret=True`` on CPU; this script is the missing link — it runs the
+Mosaic-COMPILED kernels on the real TPU at the production shapes with the
+shipped defaults (``unroll=8``, ``exp2``, ``head_pad=8``) and compares
+forward AND backward against the XLA paths, both evaluated against an
+fp32 ground truth computed from the same inputs.
+
+This mirrors the reference's runtime-probe discipline: the reference never
+trusts a kernel it hasn't exercised on the target hardware
+(lora_diffusion/xformers_utils.py:16-39 probes the xformers backward per
+head-dim before enabling it).
+
+Pass criterion per tensor: the Pallas error vs the fp32 ground truth must be
+within ``REL_FACTOR`` x the XLA path's own error (they share the input
+rounding), or under an absolute floor.  A Mosaic miscompile (wrong values,
+not wrong speed) fails this loudly.
+
+Writes ``TPU_SELFTEST_r{N}.json``: one result record per (kernel, shape,
+dtype), plus an ``all_ok`` verdict.  Run: ``python tpu_selftest.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+if "--interpret" in sys.argv:  # CPU smoke mode: validates the harness only
+    sys.argv.remove("--interpret")
+    jax.config.update("jax_platforms", "cpu")
+    INTERPRET = True
+else:
+    INTERPRET = False
+
+from diffusion_finetuning_tpu.ops.attention import xla_attention
+from diffusion_finetuning_tpu.ops.flash_attention import flash_attention
+from diffusion_finetuning_tpu.ops.lora_matmul import lora_dense
+
+# Pallas error may exceed XLA's because accumulation *order* differs (online
+# softmax vs full-row), but a miscompile is orders of magnitude, not a small
+# factor.  Floors cover the regimes where the XLA-relative ratio is
+# uninformative:
+#  - float32: the TPU MXU computes fp32 dots as bf16 passes at the shipped
+#    DEFAULT precision (measured on this chip: 0.27 max-abs on a 512x512
+#    f32 matmul vs 1.5e-5 at HIGHEST), and on fp32 inputs the "fp32 ground
+#    truth" XLA path is the *same computation* as the working-dtype XLA
+#    path (its error is trivially 0).  Kernel-vs-XLA disagreement from
+#    accumulation order lands ~3e-3; forcing HIGHEST inside the kernel
+#    VMEM-OOMs (multi-pass temporaries) and is not a production config.
+#    1e-2 cleanly separates rounding from a miscompile (O(1)).
+#  - bfloat16: input rounding alone is ~4e-3 relative; 2e-2 bounds it.
+REL_FACTOR = 3.0
+ABS_FLOOR = {"float32": 1e-2, "bfloat16": 2e-2}
+
+
+def _err(a, ref):
+    """(max_abs, max_rel) of a vs fp32 reference, computed on device."""
+    a = a.astype(jnp.float32)
+    d = jnp.abs(a - ref)
+    scale = jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6)
+    return jnp.max(d), jnp.max(d) / scale
+
+
+# ---------------------------------------------------------------------------
+# Flash attention fwd + bwd
+# ---------------------------------------------------------------------------
+
+# Production shapes (SD1.5 512^2, batch 2 = CFG pair): the three self-attn
+# levels and the KV=77 cross-attention masking path.  Cross-attn is routed to
+# XLA in production (FLASH_MIN_KV) but the kernel must still be correct there.
+ATTN_SHAPES = [
+    ("self_s4096_d40", 2, 8, 4096, 4096, 40),
+    ("self_s1024_d80", 2, 8, 1024, 1024, 80),
+    ("self_s256_d160", 2, 8, 256, 256, 160),
+    ("cross_s4096_kv77_d40", 2, 8, 4096, 77, 40),
+]
+
+
+def attn_case(name, b, heads, sq, skv, d, dtype):
+    key = jax.random.PRNGKey(hash(name) % (2**31))
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, sq, heads * d), dtype)
+    k = jax.random.normal(kk, (b, skv, heads * d), dtype)
+    v = jax.random.normal(kv, (b, skv, heads * d), dtype)
+    g = jax.random.normal(kg, (b, sq, heads * d), dtype)
+
+    # bf16 (the production dtype) runs the EXACT shipped config, fwd+bwd.
+    # The fp32 tight-tolerance pass is fwd-only at S>=2048: the fp32
+    # backward's whole-KV dK/dV accumulators + fp32 K/V exceed the 16MB
+    # scoped-vmem budget at S=4096 under any block size, and no production
+    # path runs an fp32 backward at that length (training is bf16); fp32
+    # backward coverage comes from the S=1024/S=256/KV=77 cases.
+    fwd_only = dtype == jnp.float32 and sq >= 2048
+
+    @jax.jit
+    def run(q, k, v, g):
+        qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+
+        if fwd_only:
+            ref_out = xla_attention(qf, kf, vf, heads)
+            fl_out = flash_attention(q, k, v, heads, interpret=INTERPRET)
+            xl_out = xla_attention(q, k, v, heads)
+            return {"fwd": (_err(fl_out, ref_out), _err(xl_out, ref_out))}
+
+        # fp32 ground truth (fwd + grads) from the SAME (rounded) inputs
+        ref_out, ref_vjp = jax.vjp(lambda *a: xla_attention(*a, heads), qf, kf, vf)
+        ref_grads = ref_vjp(gf)
+
+        # compiled Pallas kernel, production defaults (unroll/exp2/head_pad)
+        fl_out, fl_vjp = jax.vjp(
+            lambda *a: flash_attention(*a, heads, interpret=INTERPRET),
+            q, k, v,
+        )
+        fl_grads = fl_vjp(g)
+
+        # XLA path at the same working dtype (the fallback production path)
+        xl_out, xl_vjp = jax.vjp(lambda *a: xla_attention(*a, heads), q, k, v)
+        xl_grads = xl_vjp(g)
+
+        res = {"fwd": (_err(fl_out, ref_out), _err(xl_out, ref_out))}
+        for nm, fg, xg, rg in zip("qkv", fl_grads, xl_grads, ref_grads):
+            res[f"d{nm}"] = (_err(fg, rg), _err(xg, rg))
+        return res
+
+    return run(q, k, v, g)
+
+
+# ---------------------------------------------------------------------------
+# Fused LoRA dense fwd + bwd
+# ---------------------------------------------------------------------------
+
+# (M, K, N, r): UNet level-1 attention projection at S=4096, level-2 at
+# S=1024, and the wide GEGLU at S=256.
+LORA_SHAPES = [
+    ("lora_m4096_k320_n320_r4", 4096, 320, 320, 4),
+    ("lora_m1024_k640_n640_r4", 1024, 640, 640, 4),
+    ("lora_m256_k1280_n5120_r4", 256, 1280, 5120, 4),
+]
+
+
+def lora_case(name, m, k, n, r, dtype):
+    key = jax.random.PRNGKey(hash(name) % (2**31))
+    kx, kw, kb, ku, kd, kg = jax.random.split(key, 6)
+    x = jax.random.normal(kx, (m, k), dtype)
+    w = jax.random.normal(kw, (k, n), dtype) * (k**-0.5)
+    b = jax.random.normal(kb, (n,), dtype)
+    up = jax.random.normal(ku, (n, r), dtype)
+    down = jax.random.normal(kd, (r, k), dtype) * (1.0 / r)
+    g = jax.random.normal(kg, (m, n), dtype)
+    scale = jnp.float32(0.7)
+
+    def ref_fn(x, w, b, up, down):
+        # keep scale in the working dtype so the output dtype matches the
+        # inputs (f32*bf16 would promote and break the vjp cotangent dtype)
+        s = jnp.asarray(scale, x.dtype)
+        return (
+            x @ w + b
+            + s * ((x @ down.astype(x.dtype).T) @ up.astype(x.dtype).T)
+        )
+
+    @jax.jit
+    def run(x, w, b, up, down, g):
+        xf, wf, bf, uf, df, gf = (
+            t.astype(jnp.float32) for t in (x, w, b, up, down, g)
+        )
+        ref_out, ref_vjp = jax.vjp(ref_fn, xf, wf, bf, uf, df)
+        ref_grads = ref_vjp(gf)
+
+        fl_out, fl_vjp = jax.vjp(
+            lambda x, w, b, up, down: lora_dense(
+                x, w, b, up, down, scale, interpret=INTERPRET),
+            x, w, b, up, down,
+        )
+        fl_grads = fl_vjp(g)
+
+        xl_out, xl_vjp = jax.vjp(ref_fn, x, w, b, up, down)
+        xl_grads = xl_vjp(g)
+
+        res = {"fwd": (_err(fl_out, ref_out), _err(xl_out, ref_out))}
+        for nm, fg, xg, rg in zip(
+            ("dx", "dw", "db", "dup", "ddown"), fl_grads, xl_grads, ref_grads
+        ):
+            res[nm] = (_err(fg, rg), _err(xg, rg))
+        return res
+
+    return run(x, w, b, up, down, g)
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_SELFTEST_r03.json"
+    platform = jax.devices()[0].platform
+    results = []
+    all_ok = True
+
+    cases = [("flash_attention", nm, args, attn_case) for nm, *args in
+             [(s[0], *s[1:]) for s in ATTN_SHAPES]]
+    cases += [("lora_dense", nm, args, lora_case) for nm, *args in
+              [(s[0], *s[1:]) for s in LORA_SHAPES]]
+
+    for kernel, name, args, fn in cases:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            dt = jnp.dtype(dtype).name
+            res = jax.device_get(fn(name, *args, dtype))
+            rec = {"kernel": kernel, "shape": name, "dtype": dt, "tensors": {}}
+            ok = True
+            floor = ABS_FLOOR[dt]
+            for tensor, ((f_abs, f_rel), (x_abs, x_rel)) in res.items():
+                f_abs, f_rel = float(f_abs), float(f_rel)
+                x_abs, x_rel = float(x_abs), float(x_rel)
+                t_ok = f_rel <= max(REL_FACTOR * x_rel, floor)
+                ok &= t_ok
+                rec["tensors"][tensor] = {
+                    "pallas_max_abs": round(f_abs, 8),
+                    "pallas_max_rel": round(f_rel, 8),
+                    "xla_max_abs": round(x_abs, 8),
+                    "xla_max_rel": round(x_rel, 8),
+                    "ok": t_ok,
+                }
+            rec["ok"] = ok
+            all_ok &= ok
+            results.append(rec)
+            print(json.dumps(rec))
+
+    summary = {
+        "platform": platform,
+        "defaults": {"unroll": 8, "exp2": True, "head_pad": 8,
+                     "block_q": 512, "block_kv": 1024},
+        "rel_factor": REL_FACTOR,
+        "abs_floor": ABS_FLOOR,
+        "n_cases": len(results),
+        "all_ok": all_ok,
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({"tpu_selftest": "ok" if all_ok else "FAIL",
+                      "platform": platform, "n_cases": len(results)}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
