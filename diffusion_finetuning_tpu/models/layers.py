@@ -25,6 +25,33 @@ Dtype = Any
 
 default_kernel_init = nn.initializers.lecun_normal()
 
+import os as _os
+
+# Opt-in im2col formulation for stride-1 square convs: expresses the conv as
+# one big (B*H*W, kh*kw*C) x (kh*kw*C, O) matmul, which hits the MXU via the
+# plain dot emitter instead of XLA's convolution emitter.  A/B knob for
+# small-spatial UNet levels where the conv emitter underperforms; only
+# applied when H*W <= DFT_CONV_IM2COL_MAX_HW.
+CONV_IM2COL = bool(int(_os.environ.get("DFT_CONV_IM2COL", "0")))
+CONV_IM2COL_MAX_HW = int(_os.environ.get("DFT_CONV_IM2COL_MAX_HW", "1024"))
+
+
+def _im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Stride-1 conv as an explicit patches-matmul.  x (B,H,W,C) NHWC,
+    kernel (kh,kw,C,O) HWIO, symmetric padding."""
+    B, H, W, C = x.shape
+    kh, kw, _, O = kernel.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    Ho, Wo = H + 2 * pad - kh + 1, W + 2 * pad - kw + 1
+    cols = [
+        xp[:, i:i + Ho, j:j + Wo, :] for i in range(kh) for j in range(kw)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B,Ho,Wo,kh*kw*C)
+    out = patches.reshape(B * Ho * Wo, kh * kw * C) @ kernel.reshape(
+        kh * kw * C, O
+    )
+    return out.reshape(B, Ho, Wo, O)
+
 # Auto-routing of LoRA layers to the fused Pallas kernel on TPU.  Flip with
 # set_fused_lora_auto(); explicit ``use_fused_lora=True/False`` always wins.
 # Default False: measured end-to-end on v5e (SD1.5 512^2 50-step txt2img),
@@ -135,6 +162,13 @@ class LoRAConv(nn.Module):
         x = x.astype(dtype)
 
         def conv(inp, k, strides):
+            if (
+                CONV_IM2COL
+                and strides == (1, 1)
+                and k.shape[:2] != (1, 1)
+                and inp.shape[1] * inp.shape[2] <= CONV_IM2COL_MAX_HW
+            ):
+                return _im2col_conv(inp, k.astype(dtype), self.padding)
             return jax.lax.conv_general_dilated(
                 inp, k.astype(dtype), window_strides=strides, padding=pad
                 if k.shape[:2] != (1, 1) else [(0, 0), (0, 0)],

@@ -166,3 +166,24 @@ def test_conv_lora_grads_flow(tiny):
     g = jax.jit(jax.grad(loss))(tree)
     up_g = tree_get(g, conv_targets[0].path)["up"]
     assert float(jnp.abs(up_g).max()) > 0
+
+def test_im2col_conv_matches_xla_conv():
+    """The DFT_CONV_IM2COL A/B path (patches-matmul formulation) must be a
+    drop-in: same outputs as lax.conv for stride-1 padded 3x3 convs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.layers import _im2col_conv
+
+    rng = jax.random.PRNGKey(0)
+    for (h, w, c, o, kh, pad) in [(8, 8, 16, 24, 3, 1), (5, 7, 4, 4, 1, 0),
+                                  (6, 6, 8, 8, 3, 1)]:
+        kx, kk = jax.random.split(jax.random.fold_in(rng, h * w))
+        x = jax.random.normal(kx, (2, h, w, c))
+        k = jax.random.normal(kk, (kh, kh, c, o)) * 0.1
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = _im2col_conv(x, k, pad)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

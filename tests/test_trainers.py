@@ -89,7 +89,9 @@ def test_lora_pti_end_to_end(tiny_model_dir, instance_dir, tmp_path):
 
 
 def test_pti_ti_rows_frozen(tiny_model_dir, instance_dir, tmp_path):
-    """Phase 1 must only move the placeholder rows."""
+    """Phase 1 must only move the placeholder rows.  Runs with save_steps=0
+    ("never save periodically" — the reference crashes on 0,
+    cli_lora_pti.py:359) to pin that both phases train to completion."""
     from diffusion_finetuning_tpu.cli_lora_pti import get_models, train
 
     out = str(tmp_path / "out2")
@@ -107,7 +109,7 @@ def test_pti_ti_rows_frozen(tiny_model_dir, instance_dir, tmp_path):
         resolution=16,
         max_train_steps_ti=2,
         max_train_steps_tuning=1,
-        save_steps=100,
+        save_steps=0,
         gradient_accumulation_steps=1,
         lora_rank=2,
         continue_inversion=False,
