@@ -19,17 +19,28 @@ from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
 
 
+_TINY_PARAMS_MEMO = {}
+
+
 def _tiny_pipe():
+    # Param trees are memoized per process: many test modules build a tiny
+    # pipe, and on the 1-core CI box each unjitted init costs seconds.
+    # Params are never mutated in place (all APIs are functional), so
+    # sharing the trees across pipeline instances is safe.
     ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
-    rng = jax.random.PRNGKey(0)
-    unet_params = UNet2DConditionModel(ucfg).init(
-        rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 77, ucfg.cross_attention_dim)),
-    )["params"]
-    vae_params = AutoencoderKL(vcfg).init(
-        rng, jnp.zeros((1, 16, 16, 3)), rng
-    )["params"]
-    text_params = CLIPTextModel(tcfg).init(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+    if "trees" not in _TINY_PARAMS_MEMO:
+        rng = jax.random.PRNGKey(0)
+        unet_params = UNet2DConditionModel(ucfg).init(
+            rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+        )["params"]
+        vae_params = AutoencoderKL(vcfg).init(
+            rng, jnp.zeros((1, 16, 16, 3)), rng
+        )["params"]
+        text_params = CLIPTextModel(tcfg).init(
+            rng, jnp.zeros((1, 77), jnp.int32))["params"]
+        _TINY_PARAMS_MEMO["trees"] = (unet_params, vae_params, text_params)
+    unet_params, vae_params, text_params = _TINY_PARAMS_MEMO["trees"]
     tok = CLIPTokenizer.tiny(["photo", "of", "sks"])
     return StableDiffusionPipeline(
         ucfg, unet_params, vcfg, vae_params, tcfg, text_params,

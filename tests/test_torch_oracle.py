@@ -69,7 +69,9 @@ def test_unet_full_model_matches_torch_oracle(cfg):
             torch.from_numpy(ctx),
         ).permute(0, 2, 3, 1).numpy()
 
-    out = UNet2DConditionModel(cfg).apply(
+    # jit: unjitted op-by-op dispatch dominates runtime on the 1-core CI box;
+    # the executable lands in the persistent test compile cache
+    out = jax.jit(UNet2DConditionModel(cfg).apply)(
         {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
@@ -99,10 +101,16 @@ def test_vae_full_model_matches_torch_oracle():
             torch.from_numpy(z).permute(0, 3, 1, 2)
         ).permute(0, 2, 3, 1).numpy()
 
-    post = vae.apply({"params": params}, jnp.asarray(x), method=vae.encode)
-    moments = jnp.concatenate([post.mean, post.logvar], axis=-1)
+    @jax.jit
+    def encode_moments(params, x):
+        post = vae.apply({"params": params}, x, method=vae.encode)
+        return jnp.concatenate([post.mean, post.logvar], axis=-1)
+
+    moments = encode_moments(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(moments), ref_moments,
                                atol=1e-4, rtol=1e-4)
 
-    dec = vae.apply({"params": params}, jnp.asarray(z), method=vae.decode)
+    dec = jax.jit(lambda p, z: vae.apply({"params": p}, z, method=vae.decode))(
+        params, jnp.asarray(z)
+    )
     np.testing.assert_allclose(np.asarray(dec), ref_dec, atol=1e-4, rtol=1e-4)
