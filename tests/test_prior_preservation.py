@@ -37,6 +37,7 @@ def test_class_image_synthesis_and_prior_training(tmp_path):
         "--class_data_dir", str(class_dir),
         "--class_prompt", "a photo",
         "--with_prior_preservation",
+        "--class_image_inference_steps", "4",
         "--num_class_images", "2",
         "--sample_batch_size", "2",
         "--output_dir", out,

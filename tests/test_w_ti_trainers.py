@@ -92,6 +92,7 @@ def test_pt_caption_end_to_end(tmp_path):
         # prior preservation synthesizes missing class images (reference
         # train_lora_w_ti.py:671-688) then doubles the batch
         "--with_prior_preservation",
+        "--class_image_inference_steps", "4",
         "--class_data_dir", class_dir,
         "--class_prompt", "a photo",
         "--num_class_images", "1",

@@ -69,6 +69,10 @@ def parse_args(input_args=None):
     a("--train_text_encoder", action="store_true")
     a("--train_batch_size", type=int, default=4)
     a("--sample_batch_size", type=int, default=4)
+    # denoise steps for prior-preservation class-image synthesis (the
+    # reference hardcodes the pipeline default of 50,
+    # train_lora_dreambooth.py:539); lower = faster synthesis
+    a("--class_image_inference_steps", type=int, default=50)
     a("--num_train_epochs", type=int, default=1)
     a("--max_train_steps", type=int, default=None)
     a("--save_steps", type=int, default=500)
@@ -143,8 +147,11 @@ def synthesize_class_images(args, pipe: StableDiffusionPipeline):
     for i in range(0, len(sample_dataset), bs):
         prompts = [sample_dataset[j]["prompt"]
                    for j in range(i, min(i + bs, len(sample_dataset)))]
-        images = pipe(prompts, num_inference_steps=50,
-                      height=args.resolution, width=args.resolution, seed=i)
+        images = pipe(
+            prompts,
+            num_inference_steps=getattr(args, "class_image_inference_steps", 50),
+            height=args.resolution, width=args.resolution, seed=i,
+        )
         for j, image in enumerate(images):
             h = hashlib.sha1(image.tobytes()).hexdigest()
             image.save(class_images_dir / f"{cur_class_images + i + j}-{h}.jpg")

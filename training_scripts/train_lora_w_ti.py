@@ -78,6 +78,8 @@ def parse_args(input_args=None):
     a("--train_text_encoder", action="store_true")
     a("--train_batch_size", type=int, default=4)
     a("--sample_batch_size", type=int, default=4)
+    # denoise steps for class-image synthesis (reference hardcodes 50)
+    a("--class_image_inference_steps", type=int, default=50)
     a("--num_train_epochs", type=int, default=1)
     a("--max_train_steps", type=int, default=None)
     a("--save_steps", type=int, default=500)
