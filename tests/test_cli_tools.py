@@ -29,14 +29,18 @@ def _tiny_pipe():
     # sharing the trees across pipeline instances is safe.
     ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
     if "trees" not in _TINY_PARAMS_MEMO:
+        # jitted inits: the executables land in the persistent test compile
+        # cache, so warm runs skip the op-by-op init dispatch entirely
         rng = jax.random.PRNGKey(0)
-        unet_params = UNet2DConditionModel(ucfg).init(
+        unet_params = jax.jit(UNet2DConditionModel(ucfg).init)(
             rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 77, ucfg.cross_attention_dim)),
         )["params"]
-        vae_params = AutoencoderKL(vcfg).init(
+        vae_params = jax.jit(AutoencoderKL(vcfg).init)(
             rng, jnp.zeros((1, 16, 16, 3)), rng
         )["params"]
+        # CLIP init stays unjitted: under jit its initializer values change
+        # bit-wise (fusion reassociation), which would shift every golden pin
         text_params = CLIPTextModel(tcfg).init(
             rng, jnp.zeros((1, 77), jnp.int32))["params"]
         _TINY_PARAMS_MEMO["trees"] = (unet_params, vae_params, text_params)
