@@ -187,3 +187,25 @@ def test_im2col_conv_matches_xla_conv():
         out = _im2col_conv(x, k, pad)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_shifted_matmul_conv_matches_xla_conv():
+    """DFT_CONV_SHIFTED A/B path (accumulated shifted-view matmuls) must be a
+    drop-in for stride-1 padded convs, like the im2col formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.layers import _shifted_matmul_conv
+
+    rng = jax.random.PRNGKey(1)
+    for (h, w, c, o, kh, pad) in [(8, 8, 16, 24, 3, 1), (5, 7, 4, 4, 1, 0),
+                                  (6, 6, 8, 8, 3, 1)]:
+        kx, kk = jax.random.split(jax.random.fold_in(rng, h * w))
+        x = jax.random.normal(kx, (2, h, w, c))
+        k = jax.random.normal(kk, (kh, kh, c, o)) * 0.1
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = _shifted_matmul_conv(x, k, pad)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
