@@ -3,6 +3,9 @@ from .clip_text import CLIPTextConfig, CLIPTextModel, text_encoder_lora_targets 
 from .schedulers import (  # noqa: F401
     DDIMScheduler,
     DDPMScheduler,
+    DPMSolverMultistepScheduler,
+    EulerAncestralDiscreteScheduler,
+    EulerDiscreteScheduler,
     PNDMScheduler,
     SchedulerConfig,
 )

@@ -27,28 +27,27 @@ default_kernel_init = nn.initializers.lecun_normal()
 
 import os as _os
 
-# im2col formulation for stride-1 square convs: expresses the conv as one
-# big (B*H*W, kh*kw*C) x (kh*kw*C, O) matmul, which hits the MXU via the
-# plain dot emitter instead of XLA's convolution emitter.  Measured on v5e
-# (SD1.5 512^2, same-session A/Bs): at spatial <= 32x32 it beats the conv
-# emitter — txt2img 1.063 vs 1.085 s/image (-2%), rank-4 DreamBooth training
-# 18.65 vs 17.66 steps/s (+5.6%, the matmul backward also beats the
-# conv-transpose emitter) — while at 64x64 the materialized patches are
-# HBM-bound and LOSE badly (1.35 s/image).  Default: auto = ON for TPU at
-# H*W <= DFT_CONV_IM2COL_MAX_HW, OFF on CPU (keeps golden pins bit-stable).
-# DFT_CONV_IM2COL=0/1 forces it.
+# Matmul formulations for stride-1 square convs (vs XLA's conv emitter):
+#   im2col  — materialize the (B*H*W, kh*kw*C) patch tensor, one big matmul
+#   shifted — accumulate kh*kw matmuls over lazily shifted views of x (same
+#             contraction, no patch tensor, ~2-3x less HBM traffic)
+# Measured on v5e (per-shape scan microbench + end-to-end, see PARITY.md conv
+# ledger): shifted wins every SD1.5 level at batch <= 2 INCLUDING 64x64 where
+# im2col loses badly (266 vs xla 294 vs im2col 430 us/conv at 64^2x320), but
+# at batch 8 / 32^2x640 (5.2M input elements) the conv emitter wins — the
+# boundary tracks total input volume, not spatial size.  Auto rule: shifted
+# on TPU when B*H*W*C <= DFT_CONV_MM_MAX_ELEMS (default 4M elements), conv
+# emitter otherwise; always OFF on CPU (keeps golden pins bit-stable).
+# Overrides: DFT_CONV_IM2COL=0 forces the conv emitter everywhere, =1 forces
+# the matmul form (within the elems bound); DFT_CONV_SHIFTED=0 selects
+# im2col as the matmul form (the pre-shifted default, kept for A/B).
 _IM2COL_ENV = _os.environ.get("DFT_CONV_IM2COL", "auto")
 CONV_IM2COL = None if _IM2COL_ENV == "auto" else bool(int(_IM2COL_ENV))
-CONV_IM2COL_MAX_HW = int(_os.environ.get("DFT_CONV_IM2COL_MAX_HW", "1024"))
-# A/B alternative to im2col: accumulate kh*kw shifted-view matmuls instead of
-# materializing the (B*H*W, kh*kw*C) patch tensor — same FLOPs, ~2-3x less
-# HBM traffic (reads x kh*kw times vs write+read the kh*kw-wide patches).
-# DFT_CONV_SHIFTED=1 routes the matmul formulation here (within the same
-# spatial threshold).  Measured on v5e before flipping any default.
-CONV_SHIFTED = bool(int(_os.environ.get("DFT_CONV_SHIFTED", "0")))
+CONV_MM_MAX_ELEMS = int(_os.environ.get("DFT_CONV_MM_MAX_ELEMS", str(4 * 1024 * 1024)))
+CONV_SHIFTED = bool(int(_os.environ.get("DFT_CONV_SHIFTED", "1")))
 
 
-def _use_im2col() -> bool:
+def _use_matmul_conv() -> bool:
     if CONV_IM2COL is None:
         return jax.default_backend() == "tpu"
     return CONV_IM2COL
@@ -199,10 +198,11 @@ class LoRAConv(nn.Module):
 
         def conv(inp, k, strides):
             if (
-                _use_im2col()
+                _use_matmul_conv()
                 and strides == (1, 1)
                 and k.shape[:2] != (1, 1)
-                and inp.shape[1] * inp.shape[2] <= CONV_IM2COL_MAX_HW
+                and inp.shape[0] * inp.shape[1] * inp.shape[2] * inp.shape[3]
+                <= CONV_MM_MAX_ELEMS
             ):
                 if CONV_SHIFTED:
                     return _shifted_matmul_conv(inp, k.astype(dtype), self.padding)

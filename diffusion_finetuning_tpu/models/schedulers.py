@@ -1,4 +1,5 @@
-"""Noise schedulers: DDPM (training), DDIM and PNDM (inference).
+"""Noise schedulers: DDPM (training); DDIM, PNDM, DPM-Solver++(2M), Euler
+and Euler-ancestral (inference).
 
 Replaces the reference's use of ``diffusers.DDPMScheduler`` (training:
 train_lora_dreambooth.py:737-742, cli_lora_pti.py:596-598) and the SD
@@ -299,6 +300,110 @@ class PNDMScheduler:
         denom = a_t * jnp.sqrt(1.0 - a_prev) + jnp.sqrt(a_t * a_prev * (1.0 - a_t))
         eps_coeff = (a_prev - a_t) / denom
         return sample_coeff * sample - eps_coeff * eps
+
+
+class EulerDiscreteScheduler:
+    """Euler method in sigma space (k-diffusion style), deterministic.
+
+    Beyond the reference's scheduler set (the reference inherits whatever
+    diffusers scheduler the pipe carries; Euler is the most common swap-in).
+    Sigma-space schedulers see variance-exploding latents: the pipeline
+    multiplies the initial N(0,1) latents by ``init_noise_sigma`` and feeds
+    the UNet ``scale_model_input``-scaled samples.  State carries the step
+    counter so sigma lookups work inside ``lax.scan`` over ``timesteps(n)``
+    walked in order.
+    """
+
+    stochastic = False
+
+    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+        self.config = config
+        betas = config.betas()
+        ac = np.cumprod(1.0 - betas)
+        self.alphas_cumprod = jnp.asarray(ac, jnp.float32)
+        self.num_train_timesteps = config.num_train_timesteps
+        self._sigma_table = np.sqrt((1.0 - ac) / ac)
+
+    def _grid_np(self, n: int) -> np.ndarray:
+        # linspace spacing (reaches T-1 at any n — same convention as our
+        # DPM-Solver++ grid; see _timesteps_np there for why)
+        return np.linspace(0, self.num_train_timesteps - 1, n)[::-1].copy()
+
+    def _sigmas_np(self, n: int) -> np.ndarray:
+        ts = self._grid_np(n)
+        sig = np.interp(ts, np.arange(self.num_train_timesteps), self._sigma_table)
+        return np.append(sig, 0.0).astype(np.float32)
+
+    def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        # float timesteps: the sinusoidal embedding accepts fractional t
+        return jnp.asarray(self._grid_np(num_inference_steps), jnp.float32)
+
+    def init_noise_sigma(self, num_inference_steps: int) -> float:
+        return float(self._sigmas_np(num_inference_steps)[0])
+
+    def init_state(self, sample_shape, dtype=jnp.float32, rng=None):
+        return {"counter": jnp.asarray(0, jnp.int32)}
+
+    def scale_model_input(self, sample, state, num_inference_steps: int):
+        sig = jnp.asarray(self._sigmas_np(num_inference_steps))[state["counter"]]
+        return (sample / jnp.sqrt(sig**2 + 1.0)).astype(sample.dtype)
+
+    def _denoised(self, model_output, sample, sigma):
+        # x0 estimate from the UNSCALED (variance-exploding) sample
+        if self.config.prediction_type == "epsilon":
+            return sample - sigma * model_output
+        if self.config.prediction_type == "v_prediction":
+            return (-sigma / jnp.sqrt(sigma**2 + 1.0)) * model_output + (
+                sample / (sigma**2 + 1.0)
+            )
+        raise ValueError(self.config.prediction_type)
+
+    def step(self, model_output, timestep, sample, state, num_inference_steps):
+        sigmas = jnp.asarray(self._sigmas_np(num_inference_steps))
+        i = state["counter"]
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        x0 = self._denoised(model_output, sample, sigma)
+        d = (sample - x0) / sigma
+        prev = sample + d * (sigma_next - sigma)
+        return prev.astype(sample.dtype), {"counter": i + 1}
+
+
+class EulerAncestralDiscreteScheduler(EulerDiscreteScheduler):
+    """Ancestral (stochastic) Euler: per-step noise injection.
+
+    ``init_state`` takes per-sample RNG keys (B, 2) so a request's noise
+    stream depends only on its seed, never on its batch position — the
+    serving determinism invariant GenerationServer relies on.
+    """
+
+    stochastic = True
+
+    def init_state(self, sample_shape, dtype=jnp.float32, rng=None):
+        if rng is None:
+            rng = jnp.tile(jax.random.PRNGKey(0)[None], (sample_shape[0], 1))
+        return {"counter": jnp.asarray(0, jnp.int32), "rng": rng}
+
+    def step(self, model_output, timestep, sample, state, num_inference_steps):
+        sigmas = jnp.asarray(self._sigmas_np(num_inference_steps))
+        i = state["counter"]
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        x0 = self._denoised(model_output, sample, sigma)
+
+        var = sigma_next**2 * (sigma**2 - sigma_next**2) / sigma**2
+        sigma_up = jnp.sqrt(jnp.maximum(var, 0.0))
+        sigma_down = jnp.sqrt(jnp.maximum(sigma_next**2 - sigma_up**2, 0.0))
+
+        d = (sample - x0) / sigma
+        prev = sample + d * (sigma_down - sigma)
+        noise = jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(jax.random.wrap_key_data(k), i),
+                sample.shape[1:], jnp.float32)
+        )(state["rng"])
+        # no noise into the terminal sigma=0 step
+        prev = prev + jnp.where(sigma_next > 0, sigma_up, 0.0) * noise.astype(
+            prev.dtype)
+        return prev.astype(sample.dtype), {"counter": i + 1, "rng": state["rng"]}
 
 
 class DPMSolverMultistepScheduler:

@@ -402,11 +402,20 @@ class StableDiffusionPipeline:
             from ..models.schedulers import DPMSolverMultistepScheduler
 
             sch = DPMSolverMultistepScheduler(sched_cfg)
+        elif scheduler == "euler":
+            from ..models.schedulers import EulerDiscreteScheduler
+
+            sch = EulerDiscreteScheduler(sched_cfg)
+        elif scheduler == "euler_a":
+            from ..models.schedulers import EulerAncestralDiscreteScheduler
+
+            sch = EulerAncestralDiscreteScheduler(sched_cfg)
         else:
             raise ValueError(f"unknown scheduler {scheduler}")
         timesteps = sch.timesteps(num_steps)
         unet = self.unet
-        stateful = scheduler in ("pndm", "dpm")
+        sigma_space = scheduler in ("euler", "euler_a")
+        stateful = scheduler in ("pndm", "dpm") or sigma_space
         factor = self.vae_scale_factor
         lat_shape = (batch, height // factor, width // factor,
                      self.unet_config.in_channels)
@@ -455,11 +464,32 @@ class StableDiffusionPipeline:
                 return eps_u + guidance_scale * (eps_c - eps_u)
 
             if stateful:
-                state = sch.init_state(latents.shape, latents.dtype)
+                if sigma_space:
+                    # variance-exploding latents: x_T = sigma_max * N(0,1)
+                    latents = latents * sch.init_noise_sigma(num_steps)
+                    anc = None
+                    if sch.stochastic:
+                        # per-sample keys: a seed's noise stream must not
+                        # depend on batch position (serving determinism)
+                        if latents_mode == "seeds":
+                            anc = jax.vmap(lambda s: jax.random.key_data(
+                                jax.random.fold_in(jax.random.PRNGKey(1), s))
+                            )(lat_src)
+                        elif latents_mode == "key":
+                            anc = jax.random.key_data(jax.random.split(
+                                jax.random.fold_in(lat_src, 7), latents.shape[0]))
+                        else:
+                            anc = jax.random.key_data(jax.random.split(
+                                jax.random.PRNGKey(1), latents.shape[0]))
+                    state = sch.init_state(latents.shape, latents.dtype, rng=anc)
+                else:
+                    state = sch.init_state(latents.shape, latents.dtype)
 
                 def body(carry, t):
                     x, st = carry
-                    eps = unet_eps(x, t)
+                    xin = (sch.scale_model_input(x, st, num_steps)
+                           if sigma_space else x)
+                    eps = unet_eps(xin, t)
                     x, st = sch.step(eps, t, x, st, num_steps)
                     return (x, st), None
 

@@ -185,3 +185,25 @@ def test_cast_params_storage_dtype(pipe):
     assert all(l.dtype == jnp.bfloat16
                for l in jax.tree_util.tree_leaves(p2.text_params)
                if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_euler_scheduler_paths(pipe):
+    img = pipe("a photo", num_inference_steps=4, height=16, width=16,
+               scheduler="euler", output_type="np")
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    img_a = pipe("a photo", num_inference_steps=4, height=16, width=16,
+                 scheduler="euler_a", output_type="np")
+    assert img_a.shape == (1, 16, 16, 3) and np.isfinite(img_a).all()
+    # stochastic path actually diverges from the deterministic one
+    assert np.abs(img.astype(np.int32) - img_a.astype(np.int32)).max() > 0
+
+
+def test_euler_a_seed_determinism_across_batch_position(pipe):
+    """euler_a noise streams are keyed per seed: the same (prompt, seed)
+    renders identically regardless of batch position (serving invariant)."""
+    ab = pipe(["a photo", "a photo"], num_inference_steps=3, height=16,
+              width=16, seed=[5, 9], scheduler="euler_a", output_type="np")
+    ba = pipe(["a photo", "a photo"], num_inference_steps=3, height=16,
+              width=16, seed=[9, 5], scheduler="euler_a", output_type="np")
+    np.testing.assert_array_equal(ab[0], ba[1])
+    np.testing.assert_array_equal(ab[1], ba[0])

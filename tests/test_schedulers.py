@@ -275,3 +275,103 @@ def test_dpm_20_25_steps_beat_ddim_50_on_nonlinear_model():
 
     assert err_dpm20 < err_ddim50, (err_dpm20, err_ddim50)
     assert err_dpm25 < err_ddim50, (err_dpm25, err_ddim50)
+
+def test_euler_converges_on_toy_gaussian():
+    """With the exact-eps oracle the VE-space ODE field is linear
+    (d = (x - x0)/sigma), so plain Euler must land exactly on x0 at the
+    terminal sigma=0."""
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    cfg = SchedulerConfig()
+    sch = EulerDiscreteScheduler(cfg)
+    n = 12
+    true_x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                          jnp.float32)
+    sigmas = sch._sigmas_np(n)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * sigmas[0]
+    st = sch.init_state(x.shape, x.dtype)
+    for i, t in enumerate(np.asarray(sch.timesteps(n))):
+        eps = (x - true_x0) / sigmas[i]  # exact VE-space eps
+        x, st = sch.step(eps, float(t), x, st, n)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(true_x0), atol=1e-4)
+
+
+def test_euler_scale_model_input_matches_vp_sample():
+    """scale_model_input must recover the variance-preserving sample the
+    UNet was trained on: x_ve / sqrt(sigma^2+1) == x_vp."""
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    sch = EulerDiscreteScheduler(SchedulerConfig())
+    n = 10
+    sigmas = sch._sigmas_np(n)
+    x_vp = jnp.asarray(np.random.default_rng(2).standard_normal((1, 8)),
+                       jnp.float32)
+    for i in [0, 3, 9]:
+        x_ve = x_vp * np.sqrt(sigmas[i] ** 2 + 1.0)
+        st = {"counter": jnp.asarray(i, jnp.int32)}
+        got = sch.scale_model_input(x_ve, st, n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x_vp),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_euler_ancestral_batch_position_independence():
+    """A sample's noise stream depends only on its per-sample key, not its
+    batch row (the serving determinism invariant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerAncestralDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    sch = EulerAncestralDiscreteScheduler(SchedulerConfig())
+    n = 8
+    keys = jnp.stack([jax.random.key_data(jax.random.PRNGKey(11)),
+                      jax.random.key_data(jax.random.PRNGKey(22))])
+    x0 = jnp.asarray(np.random.default_rng(3).standard_normal((2, 4)),
+                     jnp.float32) * sch.init_noise_sigma(n)
+
+    def run(x, k):
+        st = sch.init_state(x.shape, x.dtype, rng=k)
+        for t in np.asarray(sch.timesteps(n)):
+            eps = 0.1 * x  # any deterministic per-sample field
+            x, st = sch.step(eps, float(t), x, st, n)
+        return np.asarray(x)
+
+    fwd = run(x0, keys)
+    swapped = run(x0[::-1], keys[::-1])
+    np.testing.assert_allclose(fwd, swapped[::-1], rtol=1e-5, atol=1e-6)
+    # and the injected noise actually differs between rows with equal inputs
+    same_x = jnp.tile(x0[:1], (2, 1))
+    out = run(same_x, keys)
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+
+
+def test_euler_ancestral_v_prediction_finite():
+    import jax.numpy as jnp
+
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerAncestralDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    sch = EulerAncestralDiscreteScheduler(
+        SchedulerConfig(prediction_type="v_prediction"))
+    n = 6
+    x = jnp.ones((1, 4)) * sch.init_noise_sigma(n)
+    st = sch.init_state(x.shape, x.dtype)
+    for t in np.asarray(sch.timesteps(n)):
+        x, st = sch.step(jnp.zeros_like(x), float(t), x, st, n)
+    assert np.isfinite(np.asarray(x)).all()
