@@ -194,6 +194,59 @@ def lora_case(name, m, k, n, r, dtype):
 
 
 # ---------------------------------------------------------------------------
+# Matmul conv formulations fwd + bwd (shipped TPU defaults route stride-1
+# 3x3 convs through these below DFT_CONV_MM_MAX_ELEMS; see models/layers.py)
+# ---------------------------------------------------------------------------
+
+from diffusion_finetuning_tpu.models.layers import (  # noqa: E402
+    _im2col_conv,
+    _shifted_matmul_conv,
+)
+
+CONV_SHAPES = [  # (B, H, W, C) at the SD1.5 UNet levels
+    ("conv_b2_64x64x320", 2, 64, 64, 320),
+    ("conv_b2_32x32x640", 2, 32, 32, 640),
+    ("conv_b1_16x16x1280", 1, 16, 16, 1280),
+]
+
+
+def conv_case(name, b, h, w, c, dtype):
+    key = jax.random.PRNGKey(hash(name) % (2**31))
+    kx, kk, kg = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (b, h, w, c), dtype)
+    k = jax.random.normal(kk, (3, 3, c, c), dtype) * (9 * c) ** -0.5
+    g = jax.random.normal(kg, (b, h, w, c), dtype)
+
+    def conv_xla(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.jit
+    def run(x, k, g):
+        xf, kf, gf = (t.astype(jnp.float32) for t in (x, k, g))
+        ref_out, ref_vjp = jax.vjp(conv_xla, xf, kf)
+        ref_grads = ref_vjp(gf)
+
+        sh_out, sh_vjp = jax.vjp(lambda x, k: _shifted_matmul_conv(x, k, 1), x, k)
+        sh_grads = sh_vjp(g)
+        im_out, im_vjp = jax.vjp(lambda x, k: _im2col_conv(x, k, 1), x, k)
+        im_grads = im_vjp(g)
+        xl_out, xl_vjp = jax.vjp(conv_xla, x, k)
+        xl_grads = xl_vjp(g)
+
+        res = {}
+        for tag, out, grads in (("shifted", sh_out, sh_grads),
+                                ("im2col", im_out, im_grads)):
+            res[f"{tag}_fwd"] = (_err(out, ref_out), _err(xl_out, ref_out))
+            for nm, fg, xg, rg in zip(("dx", "dk"), grads, xl_grads, ref_grads):
+                res[f"{tag}_{nm}"] = (_err(fg, rg), _err(xg, rg))
+        return res
+
+    return run(x, k, g)
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
@@ -206,6 +259,8 @@ def main():
              [(s[0], *s[1:]) for s in ATTN_SHAPES]]
     cases += [("lora_dense", nm, args, lora_case) for nm, *args in
               [(s[0], *s[1:]) for s in LORA_SHAPES]]
+    cases += [("conv_formulations", nm, args, conv_case) for nm, *args in
+              [(s[0], *s[1:]) for s in CONV_SHAPES]]
 
     for kernel, name, args, fn in cases:
         for dtype in (jnp.float32, jnp.bfloat16):
