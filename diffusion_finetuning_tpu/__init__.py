@@ -10,6 +10,18 @@ reference's exact ``.safetensors``/``.pt`` checkpoint formats.
 The public surface mirrors ``lora_diffusion/__init__.py`` in the reference.
 """
 
+import os as _os
+
+# DFT_PLATFORM=cpu|tpu forces the JAX platform at import time.  Needed
+# because some TPU plugins (the axon tunnel here) ignore the standard
+# ``JAX_PLATFORMS`` env var — programmatic config is the only reliable
+# switch, and CLI users can't call jax.config themselves before the
+# package initializes a backend.
+if _os.environ.get("DFT_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["DFT_PLATFORM"])
+
 from .lora import *  # noqa: F401,F403
 from .lora import (  # explicit re-exports for static analyzers
     DEFAULT_TARGET_REPLACE,

@@ -6,6 +6,7 @@ from .schedulers import (  # noqa: F401
     DPMSolverMultistepScheduler,
     EulerAncestralDiscreteScheduler,
     EulerDiscreteScheduler,
+    LMSDiscreteScheduler,
     PNDMScheduler,
     SchedulerConfig,
 )

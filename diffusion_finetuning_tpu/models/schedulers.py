@@ -1,5 +1,6 @@
-"""Noise schedulers: DDPM (training); DDIM, PNDM, DPM-Solver++(2M), Euler
-and Euler-ancestral (inference).
+"""Noise schedulers: DDPM (training); DDIM, PNDM, DPM-Solver++(2M), Euler,
+Euler-ancestral and LMS (inference; the sigma-space samplers optionally run
+on Karras rho-7 grids).
 
 Replaces the reference's use of ``diffusers.DDPMScheduler`` (training:
 train_lora_dreambooth.py:737-742, cli_lora_pti.py:596-598) and the SD
@@ -316,8 +317,10 @@ class EulerDiscreteScheduler:
 
     stochastic = False
 
-    def __init__(self, config: SchedulerConfig = SchedulerConfig()):
+    def __init__(self, config: SchedulerConfig = SchedulerConfig(),
+                 karras: bool = False):
         self.config = config
+        self.karras = karras
         betas = config.betas()
         ac = np.cumprod(1.0 - betas)
         self.alphas_cumprod = jnp.asarray(ac, jnp.float32)
@@ -332,10 +335,24 @@ class EulerDiscreteScheduler:
     def _sigmas_np(self, n: int) -> np.ndarray:
         ts = self._grid_np(n)
         sig = np.interp(ts, np.arange(self.num_train_timesteps), self._sigma_table)
+        if self.karras:
+            # Karras et al. 2022 rho-7 grid between the same endpoints:
+            # denser near sigma_min, where most of the detail forms
+            rho = 7.0
+            smax, smin = sig[0] ** (1 / rho), sig[-1] ** (1 / rho)
+            ramp = np.linspace(0.0, 1.0, n)
+            sig = (smax + ramp * (smin - smax)) ** rho
         return np.append(sig, 0.0).astype(np.float32)
 
     def timesteps(self, num_inference_steps: int) -> jnp.ndarray:
         # float timesteps: the sinusoidal embedding accepts fractional t
+        if self.karras:
+            # invert sigma(t) by log-linear interpolation so the UNet sees
+            # the t that corresponds to each Karras sigma
+            sig = self._sigmas_np(num_inference_steps)[:-1]
+            ts = np.interp(np.log(sig), np.log(self._sigma_table),
+                           np.arange(self.num_train_timesteps))
+            return jnp.asarray(ts, jnp.float32)
         return jnp.asarray(self._grid_np(num_inference_steps), jnp.float32)
 
     def init_noise_sigma(self, num_inference_steps: int) -> float:
@@ -404,6 +421,63 @@ class EulerAncestralDiscreteScheduler(EulerDiscreteScheduler):
         prev = prev + jnp.where(sigma_next > 0, sigma_up, 0.0) * noise.astype(
             prev.dtype)
         return prev.astype(sample.dtype), {"counter": i + 1, "rng": state["rng"]}
+
+
+class LMSDiscreteScheduler(EulerDiscreteScheduler):
+    """Linear multistep (k-diffusion LMS, up to order 4), deterministic.
+
+    One model eval per step: ``x_{i+1} = x_i + sum_j c_{i,j} d_{i-j}`` with
+    ``d = (x - x0)/sigma`` and Adams-Bashforth coefficients ``c_{i,j}`` =
+    exact integrals of the Lagrange basis over ``[sigma_i, sigma_{i+1}]``
+    (polynomial antiderivatives on host — no quadrature).  The coefficient
+    table is precomputed per step count, so inside ``lax.scan`` a step is a
+    table row dotted with the carried derivative history (3 latent-sized
+    buffers).  Beyond the reference's scheduler set, like Euler.
+    """
+
+    order = 4
+    stochastic = False
+
+    def _lms_coeffs_np(self, n: int) -> np.ndarray:
+        """(n, order) table; row i holds c_{i,j} for j=0 (current d) .. 3,
+        zero-padded while the history is still ramping up."""
+        sig = self._sigmas_np(n).astype(np.float64)
+        coeffs = np.zeros((n, self.order), np.float64)
+        for i in range(n):
+            cur_order = min(i + 1, self.order)
+            for j in range(cur_order):
+                poly = np.poly1d([1.0])
+                for k in range(cur_order):
+                    if k == j:
+                        continue
+                    denom = sig[i - j] - sig[i - k]
+                    poly *= np.poly1d([1.0 / denom, -sig[i - k] / denom])
+                anti = poly.integ()
+                coeffs[i, j] = anti(sig[i + 1]) - anti(sig[i])
+        return coeffs.astype(np.float32)
+
+    def init_state(self, sample_shape, dtype=jnp.float32, rng=None):
+        return {
+            "counter": jnp.asarray(0, jnp.int32),
+            # most-recent-first history of the previous order-1 derivatives
+            "d_hist": jnp.zeros((self.order - 1,) + tuple(sample_shape), dtype),
+        }
+
+    def step(self, model_output, timestep, sample, state, num_inference_steps):
+        sigmas = jnp.asarray(self._sigmas_np(num_inference_steps))
+        coeffs = jnp.asarray(self._lms_coeffs_np(num_inference_steps))
+        i = state["counter"]
+        sigma = sigmas[i]
+        x0 = self._denoised(model_output, sample, sigma)
+        d = ((sample - x0) / sigma).astype(sample.dtype)
+
+        c = coeffs[i]
+        prev = sample + c[0] * d
+        for j in range(1, self.order):
+            prev = prev + c[j] * state["d_hist"][j - 1]
+        d_hist = jnp.concatenate(
+            [d[None], state["d_hist"][:-1]], axis=0)
+        return prev.astype(sample.dtype), {"counter": i + 1, "d_hist": d_hist}
 
 
 class DPMSolverMultistepScheduler:

@@ -394,28 +394,41 @@ class StableDiffusionPipeline:
         postprocess — a remote TPU pays per-dispatch RPC latency, so the
         whole image is one call."""
         sched_cfg = self.scheduler_config
-        if scheduler == "ddim":
+        # sigma-space samplers accept a ":karras" suffix (e.g.
+        # "euler:karras") selecting the Karras rho-7 sigma grid; the full
+        # string stays in the executable-cache key
+        base, _, variant = scheduler.partition(":")
+        karras = variant == "karras"
+        if variant and not karras:
+            raise ValueError(f"unknown scheduler variant {scheduler!r}")
+        if karras and base not in ("euler", "euler_a", "lms"):
+            raise ValueError(f"{base} does not support the karras grid")
+        if base == "ddim":
             sch = DDIMScheduler(sched_cfg)
-        elif scheduler == "pndm":
+        elif base == "pndm":
             sch = PNDMScheduler(sched_cfg)
-        elif scheduler == "dpm":
+        elif base == "dpm":
             from ..models.schedulers import DPMSolverMultistepScheduler
 
             sch = DPMSolverMultistepScheduler(sched_cfg)
-        elif scheduler == "euler":
+        elif base == "euler":
             from ..models.schedulers import EulerDiscreteScheduler
 
-            sch = EulerDiscreteScheduler(sched_cfg)
-        elif scheduler == "euler_a":
+            sch = EulerDiscreteScheduler(sched_cfg, karras=karras)
+        elif base == "euler_a":
             from ..models.schedulers import EulerAncestralDiscreteScheduler
 
-            sch = EulerAncestralDiscreteScheduler(sched_cfg)
+            sch = EulerAncestralDiscreteScheduler(sched_cfg, karras=karras)
+        elif base == "lms":
+            from ..models.schedulers import LMSDiscreteScheduler
+
+            sch = LMSDiscreteScheduler(sched_cfg, karras=karras)
         else:
             raise ValueError(f"unknown scheduler {scheduler}")
         timesteps = sch.timesteps(num_steps)
         unet = self.unet
-        sigma_space = scheduler in ("euler", "euler_a")
-        stateful = scheduler in ("pndm", "dpm") or sigma_space
+        sigma_space = base in ("euler", "euler_a", "lms")
+        stateful = base in ("pndm", "dpm") or sigma_space
         factor = self.vae_scale_factor
         lat_shape = (batch, height // factor, width // factor,
                      self.unet_config.in_channels)

@@ -349,3 +349,45 @@ def test_pt_to_safetensors(tmp_path):
     assert ranks == [2] * len(targets)
     embeds = L.parse_safeloras_embeds(tensors, metadata)
     assert "<s1>" in embeds and embeds["<s1>"].shape == (16,)
+
+
+# -- scripts/run_inference.py -------------------------------------------------
+
+
+def test_run_inference_script(pipe_dir, tmp_path):
+    """End-to-end smoke of the patch-and-generate script (the reference's
+    run_inference.ipynb workflow): tiny saved pipeline + safetensors LoRA
+    with a TI embed -> two PNGs on disk."""
+    import importlib.util
+
+    d, pipe = pipe_dir
+    targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    flat = _random_flat(targets, 2, np.random.default_rng(7))
+    pt = str(tmp_path / "lora_weight.pt")
+    torch_pickle.save(flat, pt)
+    ti = {"<s1>": 0.01 * np.random.default_rng(8).standard_normal(32).astype(np.float32)}
+    ti_pt = str(tmp_path / "lora_weight.ti.pt")
+    torch_pickle.save(ti, ti_pt)
+    lora_path = str(tmp_path / "lora.safetensors")
+    from diffusion_finetuning_tpu.cli_pt_to_safetensors import convert
+
+    convert(pt, ti_pt, outpath=lora_path, **{"unet.rank": 2})
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "run_inference.py",
+    )
+    spec = importlib.util.spec_from_file_location("run_inference", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "img.png")
+    mod.run(d, lora_path, prompt="a photo of <s1>", out=out, n=2,
+            height=64, width=64, steps=2, scheduler="dpm",
+            unet_scale=0.7, seed=3, dtype="float32")
+    from PIL import Image
+
+    for p in (str(tmp_path / "img-0.png"), str(tmp_path / "img-1.png")):
+        assert os.path.exists(p)
+        img = Image.open(p)
+        assert img.size == (64, 64)

@@ -198,6 +198,18 @@ def test_euler_scheduler_paths(pipe):
     assert np.abs(img.astype(np.int32) - img_a.astype(np.int32)).max() > 0
 
 
+def test_lms_and_karras_scheduler_paths(pipe):
+    img = pipe("a photo", num_inference_steps=4, height=16, width=16,
+               scheduler="lms", output_type="np")
+    assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    img_k = pipe("a photo", num_inference_steps=4, height=16, width=16,
+                 scheduler="euler:karras", output_type="np")
+    assert img_k.shape == (1, 16, 16, 3) and np.isfinite(img_k).all()
+    with pytest.raises(ValueError):
+        pipe("a photo", num_inference_steps=4, height=16, width=16,
+             scheduler="ddim:karras", output_type="np")
+
+
 def test_euler_a_seed_determinism_across_batch_position(pipe):
     """euler_a noise streams are keyed per seed: the same (prompt, seed)
     renders identically regardless of batch position (serving invariant)."""

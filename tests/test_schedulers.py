@@ -375,3 +375,144 @@ def test_euler_ancestral_v_prediction_finite():
     for t in np.asarray(sch.timesteps(n)):
         x, st = sch.step(jnp.zeros_like(x), float(t), x, st, n)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_lms_order1_matches_euler():
+    """With a single-entry history LMS degenerates to the Euler method
+    exactly (the order-ramp row 0 coefficient is just sigma_next - sigma)."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerDiscreteScheduler,
+        LMSDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    class LMS1(LMSDiscreteScheduler):
+        order = 1
+
+    cfg = SchedulerConfig()
+    eul, lms = EulerDiscreteScheduler(cfg), LMS1(cfg)
+    n = 9
+    rng = np.random.default_rng(3)
+    sigmas = eul._sigmas_np(n)
+    x_e = jnp.asarray(rng.standard_normal((2, 6)), jnp.float32) * sigmas[0]
+    x_l = x_e
+    st_e = eul.init_state(x_e.shape, x_e.dtype)
+    st_l = lms.init_state(x_l.shape, x_l.dtype)
+    for i, t in enumerate(np.asarray(eul.timesteps(n))):
+        eps = jnp.asarray(rng.standard_normal(x_e.shape), jnp.float32)
+        x_e, st_e = eul.step(eps, float(t), x_e, st_e, n)
+        x_l, st_l = lms.step(eps, float(t), x_l, st_l, n)
+        np.testing.assert_allclose(np.asarray(x_e), np.asarray(x_l),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_lms_converges_on_toy_gaussian():
+    """Exact-eps linear field: the derivative is constant along the
+    trajectory, so LMS (any order) must land exactly on x0 like Euler."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        LMSDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    sch = LMSDiscreteScheduler(SchedulerConfig())
+    n = 12
+    true_x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 4, 4, 2)),
+                          jnp.float32)
+    sigmas = sch._sigmas_np(n)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 4, 4, 2)),
+                    jnp.float32) * sigmas[0]
+    st = sch.init_state(x.shape, x.dtype)
+    for i, t in enumerate(np.asarray(sch.timesteps(n))):
+        eps = (x - true_x0) / sigmas[i]
+        x, st = sch.step(eps, float(t), x, st, n)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(true_x0), atol=1e-4)
+
+
+def _run_sigma_space(sch, eps_model, xT, n):
+    """Pipeline-faithful sigma-space rollout: VE latents, VP model inputs."""
+    x = xT * sch.init_noise_sigma(n)
+    st = sch.init_state(x.shape, x.dtype)
+    for t in np.asarray(sch.timesteps(n)):
+        xin = sch.scale_model_input(x, st, n)
+        x, st = sch.step(eps_model(xin, float(t)), float(t), x, st, n)
+    return x
+
+
+def test_lms_beats_euler_on_nonlinear_model():
+    """Order-4 LMS at 20 steps lands closer to a fine-grid truth than plain
+    Euler at 20 steps (same nonlinear eps model as the DPM evidence test)."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerDiscreteScheduler,
+        LMSDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    cfg = SchedulerConfig()
+    dim = 8
+    rng = np.random.default_rng(0)
+    W1 = jnp.asarray(rng.standard_normal((dim, 32)) / np.sqrt(dim), jnp.float32)
+    W2 = jnp.asarray(rng.standard_normal((32, dim)) / np.sqrt(32), jnp.float32)
+
+    def eps_model(x, t):
+        tf = jnp.float32(t) / 1000.0
+        h = jnp.tanh(x @ W1 + 3.0 * tf)
+        return 0.8 * (h @ W2) + 0.4 * x * (1.0 - tf)
+
+    xT = jnp.asarray(rng.standard_normal((1, dim)), jnp.float32)
+    truth = _run_sigma_space(EulerDiscreteScheduler(cfg), eps_model, xT, 400)
+    scale = float(jnp.abs(truth).max())
+    err_euler = float(jnp.abs(
+        _run_sigma_space(EulerDiscreteScheduler(cfg), eps_model, xT, 20)
+        - truth).max()) / scale
+    err_lms = float(jnp.abs(
+        _run_sigma_space(LMSDiscreteScheduler(cfg), eps_model, xT, 20)
+        - truth).max()) / scale
+    assert err_lms < err_euler, (err_lms, err_euler)
+
+
+def test_karras_sigma_grid_properties():
+    """Karras rho-7 grid: same endpoints as the linspace grid, strictly
+    decreasing, denser near sigma_min; timesteps invert sigma(t)."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        EulerDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    cfg = SchedulerConfig()
+    base = EulerDiscreteScheduler(cfg)
+    kar = EulerDiscreteScheduler(cfg, karras=True)
+    n = 15
+    s_base, s_kar = base._sigmas_np(n), kar._sigmas_np(n)
+    np.testing.assert_allclose(s_kar[0], s_base[0], rtol=1e-5)
+    np.testing.assert_allclose(s_kar[n - 1], s_base[n - 1], rtol=1e-5)
+    assert s_kar[-1] == 0.0
+    assert np.all(np.diff(s_kar[:-1]) < 0)
+    # rho-7 spacing concentrates steps at low sigma: the last-step ratio is
+    # far smaller than the first-step ratio
+    assert (s_kar[n - 2] - s_kar[n - 1]) < 0.05 * (s_kar[0] - s_kar[1])
+    # timesteps: sigma_table interpolated at t_i reproduces sigma_i
+    ts = np.asarray(kar.timesteps(n))
+    sig_at_t = np.interp(ts, np.arange(cfg.num_train_timesteps),
+                         kar._sigma_table)
+    np.testing.assert_allclose(sig_at_t, s_kar[:-1], rtol=5e-3)
+
+
+def test_karras_rollout_converges():
+    """Exact-eps linear field on the Karras grid still lands on x0."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        LMSDiscreteScheduler,
+        SchedulerConfig,
+    )
+
+    sch = LMSDiscreteScheduler(SchedulerConfig(), karras=True)
+    n = 12
+    true_x0 = jnp.asarray(np.random.default_rng(5).standard_normal((1, 6)),
+                          jnp.float32)
+    sigmas = sch._sigmas_np(n)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((1, 6)),
+                    jnp.float32) * sigmas[0]
+    st = sch.init_state(x.shape, x.dtype)
+    for i, t in enumerate(np.asarray(sch.timesteps(n))):
+        eps = (x - true_x0) / sigmas[i]
+        x, st = sch.step(eps, float(t), x, st, n)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(true_x0), atol=1e-4)
