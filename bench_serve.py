@@ -20,9 +20,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import os
+
 STEPS = 50
-BATCH = 4
-N_REQUESTS = 16
+BATCH = int(os.environ.get("DFT_BENCH_BATCH", "4"))
+N_REQUESTS = 4 * BATCH
 
 
 def main():
@@ -52,7 +54,7 @@ def main():
     # north star is <=2 s/image single-request; express batched throughput
     # against the same bar (0.5 img/s)
     print(json.dumps({
-        "metric": "sd15_512_50step_lora_txt2img_serving_batch4",
+        "metric": f"sd15_512_50step_lora_txt2img_serving_batch{BATCH}",
         "value": round(imgs_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 0.5, 3),

@@ -439,11 +439,13 @@ class LMSDiscreteScheduler(EulerDiscreteScheduler):
     stochastic = False
 
     def _lms_coeffs_np(self, n: int) -> np.ndarray:
-        """(n, order) table; row i holds c_{i,j} for j=0 (current d) .. 3,
-        zero-padded while the history is still ramping up."""
+        """(steps, order) table; row i holds c_{i,j} for j=0 (current d)
+        .. 3, zero-padded while the history is still ramping up.  Row count
+        follows the sigma table (not ``n``): truncated-grid wrappers
+        (img2img) return fewer sigmas than the full step count."""
         sig = self._sigmas_np(n).astype(np.float64)
-        coeffs = np.zeros((n, self.order), np.float64)
-        for i in range(n):
+        coeffs = np.zeros((len(sig) - 1, self.order), np.float64)
+        for i in range(len(sig) - 1):
             cur_order = min(i + 1, self.order)
             for j in range(cur_order):
                 poly = np.poly1d([1.0])

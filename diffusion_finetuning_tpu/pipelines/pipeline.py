@@ -599,13 +599,63 @@ class StableDiffusionPipeline:
         return self._cached(("img2img",) + key,
                             lambda: self._build_img2img_fn(*key))
 
+    @staticmethod
+    def _truncated_sigma_scheduler(cls, cfg, karras: bool, n: int, start: int):
+        """A sigma-space scheduler running on ``full_grid[start:]`` — the
+        k-diffusion img2img convention: the sampler starts fresh on the
+        sliced sigma sequence (LMS/multistep history ramps from scratch),
+        rather than pretending the skipped steps happened."""
+        full = cls(cfg, karras=karras)
+
+        class Truncated(cls):
+            def _sigmas_np(self, _n):
+                return full._sigmas_np(n)[start:]
+
+            def timesteps(self, _n):
+                return full.timesteps(n)[start:]
+
+            def init_noise_sigma(self, _n):
+                return float(full._sigmas_np(n)[start])
+
+        Truncated.__name__ = f"Truncated{cls.__name__}"
+        return Truncated(cfg, karras=karras)
+
     def _build_img2img_fn(self, num_steps: int, t_start: int, height: int,
-                          width: int, batch: int, text_lora_given: bool):
+                          width: int, batch: int, text_lora_given: bool,
+                          scheduler: str = "ddim"):
         """One jit for the whole img2img call: VAE encode + forward noising +
         text encode + partial denoise scan + decode + uint8 postprocess."""
-        from ..models.schedulers import DDIMScheduler, DDPMScheduler
+        from ..models.schedulers import (
+            DDIMScheduler,
+            DDPMScheduler,
+            EulerAncestralDiscreteScheduler,
+            EulerDiscreteScheduler,
+            LMSDiscreteScheduler,
+        )
 
-        sch = DDIMScheduler(self.scheduler_config)
+        base, _, variant = scheduler.partition(":")
+        karras = variant == "karras"
+        if variant and not karras:
+            raise ValueError(f"unknown scheduler variant {scheduler!r}")
+        sigma_classes = {
+            "euler": EulerDiscreteScheduler,
+            "euler_a": EulerAncestralDiscreteScheduler,
+            "lms": LMSDiscreteScheduler,
+        }
+        sigma_space = base in sigma_classes
+        if base == "ddim":
+            if karras:
+                raise ValueError("ddim does not support the karras grid")
+            sch = DDIMScheduler(self.scheduler_config)
+        elif sigma_space:
+            sch = self._truncated_sigma_scheduler(
+                sigma_classes[base], self.scheduler_config, karras,
+                num_steps, t_start)
+        else:
+            raise ValueError(
+                f"img2img supports ddim / euler / euler_a / lms (got "
+                f"{scheduler!r}); multistep-warmup schedulers (pndm, dpm) "
+                "cannot start mid-grid")
         ddpm = DDPMScheduler(self.scheduler_config)
         unet = self.unet
         vae = self.vae
@@ -622,9 +672,14 @@ class StableDiffusionPipeline:
             # sample independent noise per prompt
             latents0 = jnp.tile(latents0, (batch, 1, 1, 1))
             noise = jax.random.normal(r_noise, latents0.shape, jnp.float32)
-            latents = ddpm.add_noise(
-                latents0.astype(jnp.float32), noise, ts_used[:1]
-            )
+            if sigma_space:
+                # VE forward noising to the start sigma
+                latents = latents0.astype(jnp.float32) + (
+                    sch.init_noise_sigma(num_steps) * noise)
+            else:
+                latents = ddpm.add_noise(
+                    latents0.astype(jnp.float32), noise, ts_used[:1]
+                )
 
             text_vars = {"params": text_params}
             if text_lora_given:
@@ -635,15 +690,37 @@ class StableDiffusionPipeline:
             if unet_lora is not None:
                 variables["lora"] = unet_lora
 
-            def body(xc, t):
-                x2 = jnp.concatenate([xc, xc], axis=0)
+            def unet_eps(xin, t):
+                x2 = jnp.concatenate([xin, xin], axis=0)
                 t2 = jnp.broadcast_to(t, (x2.shape[0],))
                 eps = unet.apply(variables, x2, t2, context)
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
-                eps = eps_u + guidance_scale * (eps_c - eps_u)
-                return sch.step(eps, t, xc, num_steps), None
+                return eps_u + guidance_scale * (eps_c - eps_u)
 
-            latents, _ = jax.lax.scan(body, latents, ts_used, unroll=_SCAN_UNROLL)
+            if sigma_space:
+                anc = None
+                if sch.stochastic:
+                    anc = jax.random.key_data(jax.random.split(
+                        jax.random.fold_in(key, 7), latents.shape[0]))
+                state = sch.init_state(latents.shape, latents.dtype, rng=anc)
+
+                def body(carry, t):
+                    xc, st = carry
+                    xin = sch.scale_model_input(xc, st, num_steps)
+                    eps = unet_eps(xin, t)
+                    xc, st = sch.step(eps, t, xc, st, num_steps)
+                    return (xc, st), None
+
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, state), ts_used, unroll=_SCAN_UNROLL)
+            else:
+
+                def body(xc, t):
+                    eps = unet_eps(xc, t)
+                    return sch.step(eps, t, xc, num_steps), None
+
+                latents, _ = jax.lax.scan(body, latents, ts_used,
+                                          unroll=_SCAN_UNROLL)
             images = vae.apply(
                 {"params": vae_params},
                 (latents / SCALING_FACTOR).astype(compute_dtype),
@@ -663,10 +740,19 @@ class StableDiffusionPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         seed: int = 0,
+        scheduler: str = "ddim",
         output_type: str = "pil",
     ):
-        """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow)."""
-        from ..models.schedulers import DDIMScheduler
+        """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow).
+
+        ``scheduler``: ddim (default) or any sigma-space sampler —
+        euler / euler_a / lms, optionally with a ``:karras`` suffix."""
+        from ..models.schedulers import (
+            DDIMScheduler,
+            EulerAncestralDiscreteScheduler,
+            EulerDiscreteScheduler,
+            LMSDiscreteScheduler,
+        )
 
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         img = np.asarray(init_image)
@@ -675,8 +761,21 @@ class StableDiffusionPipeline:
         x = jnp.asarray(img)[None] * 2.0 - 1.0  # (1,H,W,3) in [-1,1]
         h, w = img.shape[0], img.shape[1]
 
-        sch = DDIMScheduler(self.scheduler_config)
-        ts = np.asarray(sch.timesteps(num_inference_steps))
+        base, _, variant = scheduler.partition(":")
+        grid_cls = {
+            "ddim": DDIMScheduler,
+            "euler": EulerDiscreteScheduler,
+            "euler_a": EulerAncestralDiscreteScheduler,
+            "lms": LMSDiscreteScheduler,
+        }.get(base)
+        if grid_cls is None or (variant and (variant != "karras"
+                                             or base == "ddim")):
+            # surface grid/variant errors eagerly with the builder's message
+            self._build_img2img_fn(num_inference_steps, 0, h, w,
+                                   len(prompts), False, scheduler)
+        kwargs = {"karras": variant == "karras"} if base != "ddim" else {}
+        ts = np.asarray(grid_cls(self.scheduler_config, **kwargs)
+                        .timesteps(num_inference_steps))
         t_start = int(min(len(ts) - 1, round((1 - strength) * len(ts))))
         ts_used = jnp.asarray(ts[t_start:])
 
@@ -698,7 +797,7 @@ class StableDiffusionPipeline:
         unet_params, unet_lora, text_params, text_lora = self._generation_params()
         fn = self._img2img_fn(
             num_inference_steps, t_start, h, w, len(prompts),
-            text_lora is not None,
+            text_lora is not None, scheduler,
         )
         images = fn(
             unet_params, self.vae_params, text_params,

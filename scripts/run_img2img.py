@@ -27,7 +27,8 @@ from diffusion_finetuning_tpu.utils.cli import Fire
 def run(model_dir: str, lora_path: str, init_image: str, out_path: str = "out.png",
         prompt: str = "a photo of <s1>", strength: float = 0.75,
         unet_scale: float = 1.0, text_scale: float = 1.0,
-        steps: int = 50, guidance_scale: float = 7.5, seed: int = 0):
+        steps: int = 50, guidance_scale: float = 7.5, seed: int = 0,
+        scheduler: str = "ddim"):
     pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)
     patch_pipe(pipe, lora_path, patch_unet=True, patch_text=True, patch_ti=True)
     tune_lora_scale_pipe(pipe, unet_scale, which="unet")
@@ -35,7 +36,7 @@ def run(model_dir: str, lora_path: str, init_image: str, out_path: str = "out.pn
 
     init = np.asarray(Image.open(init_image).convert("RGB"))
     [img] = pipe.img2img(prompt, init, strength=strength,
-                         num_inference_steps=steps,
+                         num_inference_steps=steps, scheduler=scheduler,
                          guidance_scale=guidance_scale, seed=seed)
     img.save(out_path)
     print(f"wrote {out_path}")

@@ -125,6 +125,24 @@ def test_img2img_multi_prompt(pipe):
     assert np.isfinite(img).all()
 
 
+def test_img2img_sigma_space_schedulers(pipe):
+    """img2img accepts the sigma-space samplers (truncated-grid restart);
+    multistep-warmup schedulers are rejected with a clear error."""
+    init = (np.full((16, 16, 3), 128, np.uint8))
+    a = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
+                     scheduler="euler", output_type="np")
+    b = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
+                     scheduler="lms:karras", output_type="np")
+    for img in (a, b):
+        assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    with pytest.raises(ValueError, match="mid-grid"):
+        pipe.img2img("a photo", init, num_inference_steps=4,
+                     scheduler="pndm", output_type="np")
+    with pytest.raises(ValueError):
+        pipe.img2img("a photo", init, num_inference_steps=4,
+                     scheduler="euler:bogus", output_type="np")
+
+
 def test_sharded_generation_matches_single_device(pipe):
     """Data-parallel generation over a mesh must produce the same images as
     single-device dispatch (same per-seed latents, batch sharded over the
