@@ -559,9 +559,11 @@ class DPMSolverMultistepScheduler:
         # the linspace grid has non-uniform integer strides: the previous
         # timestep comes from the per-n table, indexed by the step counter
         # carried in ``state`` (callers walk ``timesteps(n)`` in order)
+        # clamp to the table length (not num_inference_steps): truncated-grid
+        # wrappers (img2img) hand out fewer rows than the full step count
         prev_table = jnp.asarray(self._prev_timesteps_np(num_inference_steps))
         prev_t = prev_table[jnp.minimum(state["counter"],
-                                        num_inference_steps - 1)]
+                                        prev_table.shape[0] - 1)]
 
         x0 = self._x0(model_output, sample, timestep)
         if self.config.clip_sample:

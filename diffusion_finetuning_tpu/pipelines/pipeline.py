@@ -628,6 +628,7 @@ class StableDiffusionPipeline:
         from ..models.schedulers import (
             DDIMScheduler,
             DDPMScheduler,
+            DPMSolverMultistepScheduler,
             EulerAncestralDiscreteScheduler,
             EulerDiscreteScheduler,
             LMSDiscreteScheduler,
@@ -643,19 +644,31 @@ class StableDiffusionPipeline:
             "lms": LMSDiscreteScheduler,
         }
         sigma_space = base in sigma_classes
+        if karras and not sigma_space:
+            raise ValueError(f"{base} does not support the karras grid")
         if base == "ddim":
-            if karras:
-                raise ValueError("ddim does not support the karras grid")
             sch = DDIMScheduler(self.scheduler_config)
+        elif base == "dpm":
+            # truncated grid: DPM restarts first-order at counter 0, so
+            # slicing its per-n tables is a fresh solve on the sub-grid
+            cfg = self.scheduler_config
+            full = DPMSolverMultistepScheduler(cfg)
+
+            class _TruncatedDPM(DPMSolverMultistepScheduler):
+                def _timesteps_np(self, _n):
+                    return full._timesteps_np(num_steps)[t_start:]
+
+            sch = _TruncatedDPM(cfg)
         elif sigma_space:
             sch = self._truncated_sigma_scheduler(
                 sigma_classes[base], self.scheduler_config, karras,
                 num_steps, t_start)
         else:
             raise ValueError(
-                f"img2img supports ddim / euler / euler_a / lms (got "
-                f"{scheduler!r}); multistep-warmup schedulers (pndm, dpm) "
-                "cannot start mid-grid")
+                f"img2img supports ddim / dpm / euler / euler_a / lms (got "
+                f"{scheduler!r}); pndm's Runge-Kutta warmup cannot start "
+                "mid-grid")
+        stateful = sigma_space or base == "dpm"
         ddpm = DDPMScheduler(self.scheduler_config)
         unet = self.unet
         vae = self.vae
@@ -697,16 +710,21 @@ class StableDiffusionPipeline:
                 eps_u, eps_c = jnp.split(eps, 2, axis=0)
                 return eps_u + guidance_scale * (eps_c - eps_u)
 
-            if sigma_space:
-                anc = None
-                if sch.stochastic:
-                    anc = jax.random.key_data(jax.random.split(
-                        jax.random.fold_in(key, 7), latents.shape[0]))
-                state = sch.init_state(latents.shape, latents.dtype, rng=anc)
+            if stateful:
+                if sigma_space:
+                    anc = None
+                    if sch.stochastic:
+                        anc = jax.random.key_data(jax.random.split(
+                            jax.random.fold_in(key, 7), latents.shape[0]))
+                    state = sch.init_state(latents.shape, latents.dtype,
+                                           rng=anc)
+                else:
+                    state = sch.init_state(latents.shape, latents.dtype)
 
                 def body(carry, t):
                     xc, st = carry
-                    xin = sch.scale_model_input(xc, st, num_steps)
+                    xin = (sch.scale_model_input(xc, st, num_steps)
+                           if sigma_space else xc)
                     eps = unet_eps(xin, t)
                     xc, st = sch.step(eps, t, xc, st, num_steps)
                     return (xc, st), None
@@ -745,10 +763,11 @@ class StableDiffusionPipeline:
     ):
         """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow).
 
-        ``scheduler``: ddim (default) or any sigma-space sampler —
+        ``scheduler``: ddim (default), dpm, or any sigma-space sampler —
         euler / euler_a / lms, optionally with a ``:karras`` suffix."""
         from ..models.schedulers import (
             DDIMScheduler,
+            DPMSolverMultistepScheduler,
             EulerAncestralDiscreteScheduler,
             EulerDiscreteScheduler,
             LMSDiscreteScheduler,
@@ -762,18 +781,21 @@ class StableDiffusionPipeline:
         h, w = img.shape[0], img.shape[1]
 
         base, _, variant = scheduler.partition(":")
+        sigma_bases = ("euler", "euler_a", "lms")
         grid_cls = {
             "ddim": DDIMScheduler,
+            "dpm": DPMSolverMultistepScheduler,
             "euler": EulerDiscreteScheduler,
             "euler_a": EulerAncestralDiscreteScheduler,
             "lms": LMSDiscreteScheduler,
         }.get(base)
         if grid_cls is None or (variant and (variant != "karras"
-                                             or base == "ddim")):
+                                             or base not in sigma_bases)):
             # surface grid/variant errors eagerly with the builder's message
             self._build_img2img_fn(num_inference_steps, 0, h, w,
                                    len(prompts), False, scheduler)
-        kwargs = {"karras": variant == "karras"} if base != "ddim" else {}
+        kwargs = ({"karras": variant == "karras"}
+                  if base in sigma_bases else {})
         ts = np.asarray(grid_cls(self.scheduler_config, **kwargs)
                         .timesteps(num_inference_steps))
         t_start = int(min(len(ts) - 1, round((1 - strength) * len(ts))))

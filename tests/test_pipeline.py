@@ -133,7 +133,9 @@ def test_img2img_sigma_space_schedulers(pipe):
                      scheduler="euler", output_type="np")
     b = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
                      scheduler="lms:karras", output_type="np")
-    for img in (a, b):
+    c = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
+                     scheduler="dpm", output_type="np")
+    for img in (a, b, c):
         assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
     with pytest.raises(ValueError, match="mid-grid"):
         pipe.img2img("a photo", init, num_inference_steps=4,
@@ -141,6 +143,9 @@ def test_img2img_sigma_space_schedulers(pipe):
     with pytest.raises(ValueError):
         pipe.img2img("a photo", init, num_inference_steps=4,
                      scheduler="euler:bogus", output_type="np")
+    with pytest.raises(ValueError, match="karras"):
+        pipe.img2img("a photo", init, num_inference_steps=4,
+                     scheduler="dpm:karras", output_type="np")
 
 
 def test_sharded_generation_matches_single_device(pipe):
