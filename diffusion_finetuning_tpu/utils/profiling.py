@@ -12,6 +12,7 @@ statistics, and a scalar logger that fans out to tensorboard (via
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import deque
 from typing import Dict, Optional
@@ -55,6 +56,48 @@ class StepTimer:
         return 1.0 / m if m > 0 else 0.0
 
 
+class _ScalarEventWriter:
+    """Minimal synchronous tfevents writer (tensorboard protos + TFRecord
+    framing, no torch import, no async worker thread).
+
+    torch's SummaryWriter costs a ~30 s torch import just to wrap
+    tensorboard's EventFileWriter, whose background writer thread starves
+    under CPU contention (a single ``flush()`` was measured blocking ~20 s
+    on a loaded 1-core box).  Scalar events are a few hundred bytes — a
+    synchronous write is microseconds and needs neither."""
+
+    def __init__(self, log_dir: str):
+        import socket
+
+        from tensorboard.compat.proto.event_pb2 import Event
+        from tensorboard.summary.writer.record_writer import RecordWriter
+
+        os.makedirs(log_dir, exist_ok=True)
+        path = os.path.join(
+            log_dir,
+            "events.out.tfevents.%010d.%s"
+            % (int(time.time()), socket.gethostname()),
+        )
+        self._Event = Event
+        self._file = open(path, "ab")
+        self._writer = RecordWriter(self._file)
+        self._writer.write(
+            Event(wall_time=time.time(),
+                  file_version="brain.Event:2").SerializeToString())
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        ev = self._Event(wall_time=time.time(), step=int(step))
+        ev.summary.value.add(tag=tag, simple_value=float(value))
+        self._writer.write(ev.SerializeToString())
+
+    def flush(self) -> None:
+        self._file.flush()
+
+    def close(self) -> None:
+        self._file.flush()
+        self._file.close()
+
+
 class MetricLogger:
     """Scalar logging to tensorboard and/or wandb, both optional."""
 
@@ -64,16 +107,19 @@ class MetricLogger:
         if log_dir:
             writer = None
             try:
-                from torch.utils.tensorboard import SummaryWriter
-
-                writer = SummaryWriter(log_dir)
+                writer = _ScalarEventWriter(log_dir)
             except Exception:
                 try:
-                    from tensorboardX import SummaryWriter
+                    from torch.utils.tensorboard import SummaryWriter
 
                     writer = SummaryWriter(log_dir)
                 except Exception:
-                    writer = None
+                    try:
+                        from tensorboardX import SummaryWriter
+
+                        writer = SummaryWriter(log_dir)
+                    except Exception:
+                        writer = None
             self._tb = writer
         if use_wandb:
             try:

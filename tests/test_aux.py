@@ -73,6 +73,34 @@ def test_metric_logger_noop():
     ml.close()
 
 
+def test_metric_logger_tfevents_roundtrip(tmp_path):
+    # The synchronous writer must produce files tensorboard actually reads:
+    # load through EventFileLoader, which migrates v1 simple_value summaries
+    # into tensor form — assert the migrated values, not the raw field.
+    ml = MetricLogger(log_dir=str(tmp_path), use_wandb=False)
+    ml.log({"loss": 1.5, "lr": 2e-4}, step=3)
+    ml.log({"loss": 0.25}, step=4)
+    ml.close()
+
+    import os
+
+    files = [f for f in os.listdir(tmp_path) if "tfevents" in f]
+    assert len(files) == 1
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader,
+    )
+    from tensorboard.util import tensor_util
+
+    seen = {}
+    for ev in EventFileLoader(str(tmp_path / files[0])).Load():
+        for v in ev.summary.value:
+            seen[(v.tag, ev.step)] = float(tensor_util.make_ndarray(v.tensor))
+            assert v.metadata.plugin_data.plugin_name == "scalars"
+    assert seen[("loss", 3)] == 1.5
+    assert abs(seen[("lr", 3)] - 2e-4) < 1e-9
+    assert seen[("loss", 4)] == 0.25
+
+
 def test_text_img_alignment_math():
     # identical embeddings -> cosine 1 everywhere
     e = np.eye(4, 8, dtype=np.float32) + 1.0
