@@ -41,6 +41,9 @@ import os as _os
 # for cross-step fusion opportunities)
 _SCAN_UNROLL = int(_os.environ.get("DFT_SCAN_UNROLL", "1"))
 
+# process-wide executable cache: see StableDiffusionPipeline._cached
+_SHARED_EXEC_CACHE: dict = {}
+
 # fold LoRA deltas into the kernels for generation (see
 # StableDiffusionPipeline.materialize_lora); 0 forces the dynamic path
 MATERIALIZE_LORA_DEFAULT = bool(int(_os.environ.get("DFT_MATERIALIZE_LORA", "1")))
@@ -249,14 +252,30 @@ class StableDiffusionPipeline:
             pipe.cast_params(params_dtype)
         return pipe
 
-    # -- per-instance jit cache ---------------------------------------------
-    # (NOT functools.lru_cache on methods: that stores `self` in class-level
-    # state and pins multi-GB param trees after the pipeline is discarded)
+    # -- shared jit cache ----------------------------------------------------
+    # Every builder closes only over flax modules (pure functions of the
+    # frozen configs + dtype), the scheduler config, and the mesh — never
+    # over params or LoRA trees (those are runtime args).  Executables are
+    # therefore shared process-wide, keyed on those inputs: a second
+    # pipeline with the same configs re-traces nothing.  (NOT
+    # functools.lru_cache on methods: that stores `self` in class-level
+    # state and pins multi-GB param trees after the pipeline is discarded.)
+    def _exec_cache_key(self):
+        return (self.unet_config, self.vae_config, self.text_config,
+                self.scheduler_config, self.dtype, self.mesh)
+
     def _cached(self, key, builder):
-        cache = self.__dict__.setdefault("_fn_cache", {})
-        if key not in cache:
-            cache[key] = builder()
-        return cache[key]
+        try:
+            full = (self._exec_cache_key(), key)
+            hash(full)
+        except TypeError:  # unhashable component: fall back to per-instance
+            cache = self.__dict__.setdefault("_fn_cache", {})
+            if key not in cache:
+                cache[key] = builder()
+            return cache[key]
+        if full not in _SHARED_EXEC_CACHE:
+            _SHARED_EXEC_CACHE[full] = builder()
+        return _SHARED_EXEC_CACHE[full]
 
     # -- multi-chip data parallelism ---------------------------------------
     def shard_over(self, mesh) -> "StableDiffusionPipeline":

@@ -51,7 +51,7 @@ def test_forward_parity(tiny_pair):
 def test_param_structure_matches_init(tiny_pair):
     cfg, _, params = tiny_pair
     model = ct.CLIPTextModel(cfg)
-    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    init = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
     flat_a = jax.tree_util.tree_structure(init)
     flat_b = jax.tree_util.tree_structure(params)
     assert flat_a == flat_b

@@ -21,7 +21,9 @@ from diffusion_finetuning_tpu.tree_util import tree_get
 def tiny():
     cfg = UNetConfig.tiny()
     unet = UNet2DConditionModel(cfg)
-    params = unet.init(
+    # jitted init: op-by-op init dispatch costs ~20 s on the 1-core box;
+    # the executable lands in the persistent test compile cache
+    params = jax.jit(unet.init)(
         jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
         jnp.ones((1, 77, cfg.cross_attention_dim)),
     )["params"]

@@ -30,8 +30,8 @@ def test_sd2_style_unet_forward_and_grad():
     x = jnp.ones((1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.ones((1, 77, 32))
-    params = unet.init(rng, x, t, ctx)["params"]
-    out = unet.apply({"params": params}, x, t, ctx)
+    params = jax.jit(unet.init)(rng, x, t, ctx)["params"]
+    out = jax.jit(unet.apply)({"params": params}, x, t, ctx)
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -50,7 +50,7 @@ def test_sd2_roundtrip_through_hf_export():
 
     cfg = _tiny_sd2_cfg()
     unet = UNet2DConditionModel(cfg)
-    params = unet.init(
+    params = jax.jit(unet.init)(
         jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
         jnp.ones((1, 77, 32)),
     )["params"]

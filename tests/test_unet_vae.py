@@ -25,7 +25,7 @@ def tiny_unet():
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, cfg.sample_size, cfg.sample_size, 4))
     ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
-    params = model.init(rng, sample, jnp.array([0]), ctx)["params"]
+    params = jax.jit(model.init)(rng, sample, jnp.array([0]), ctx)["params"]
     return cfg, model, params
 
 
@@ -110,7 +110,7 @@ def test_gradient_checkpointing_same_output():
     m2 = UNet2DConditionModel(cfg_ckpt)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, cfg.cross_attention_dim))
-    params = m1.init(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
+    params = jax.jit(m1.init)(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
     o1 = jax.jit(m1.apply)({"params": params}, x, jnp.array([5]), ctx)
     o2 = jax.jit(m2.apply)({"params": params}, x, jnp.array([5]), ctx)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
@@ -120,7 +120,7 @@ def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     model = AutoencoderKL(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
-    variables = model.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
     params = variables["params"]
     @jax.jit
     def enc(p, xx, key):

@@ -54,7 +54,7 @@ def tiny_unet_sd():
     every tensor filled with distinct values so misrouting is detectable."""
     cfg = UNetConfig.tiny()
     unet = UNet2DConditionModel(cfg)
-    params = unet.init(
+    params = jax.jit(unet.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 8, 8, 4)),
         jnp.zeros((1,), jnp.int32),
@@ -70,7 +70,7 @@ def mini_sd_vae_sd():
     cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                     norm_num_groups=4, sample_size=64)
     vae = AutoencoderKL(cfg)
-    params = vae.init(
+    params = jax.jit(vae.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1)
     )["params"]
     return cfg, params, hf_export.vae_state_dict(params, cfg)
@@ -206,12 +206,14 @@ def test_unet_tiny_golden_activations():
     d = np.load(os.path.join(GOLDEN_DIR, "unet_tiny_golden.npz"))
     cfg = UNetConfig.tiny()
     unet = UNet2DConditionModel(cfg)
-    params = unet.init(
+    # jit-induced value shifts are ~1e-7 relative, far inside the pin
+    # tolerance (rtol 1e-4); unjitted op-by-op dispatch costs ~10 s here
+    params = jax.jit(unet.init)(
         jax.random.PRNGKey(0), jnp.asarray(d["latents"]),
         jnp.asarray(d["t"]), jnp.asarray(d["ctx"]),
     )["params"]
-    out = unet.apply({"params": params}, jnp.asarray(d["latents"]),
-                     jnp.asarray(d["t"]), jnp.asarray(d["ctx"]))
+    out = jax.jit(unet.apply)({"params": params}, jnp.asarray(d["latents"]),
+                              jnp.asarray(d["t"]), jnp.asarray(d["ctx"]))
     np.testing.assert_allclose(np.asarray(out), d["expected"], rtol=1e-4, atol=1e-5)
 
 
@@ -219,16 +221,18 @@ def test_vae_tiny_golden_activations():
     d = np.load(os.path.join(GOLDEN_DIR, "vae_tiny_golden.npz"))
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)
-    params = vae.init(
+    params = jax.jit(vae.init)(
         jax.random.PRNGKey(0), jnp.asarray(d["img"]), jax.random.PRNGKey(4)
     )["params"]
-    posterior = vae.apply({"params": params}, jnp.asarray(d["img"]),
-                          method=vae.encode)
+    posterior = jax.jit(lambda p, x: vae.apply({"params": p}, x,
+                                               method=vae.encode))(
+        params, jnp.asarray(d["img"]))
     np.testing.assert_allclose(np.asarray(posterior.mean), d["mean"],
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(posterior.logvar), d["logvar"],
                                rtol=1e-4, atol=1e-5)
-    dec = vae.apply({"params": params}, jnp.asarray(d["mean"]), method=vae.decode)
+    dec = jax.jit(lambda p, z: vae.apply({"params": p}, z, method=vae.decode))(
+        params, jnp.asarray(d["mean"]))
     np.testing.assert_allclose(np.asarray(dec), d["decoded"], rtol=1e-4, atol=1e-5)
 
 
@@ -236,6 +240,6 @@ def test_clip_tiny_golden_activations():
     d = np.load(os.path.join(GOLDEN_DIR, "clip_tiny_golden.npz"))
     cfg = CLIPTextConfig.tiny()
     enc = CLIPTextModel(cfg)
-    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(d["ids"]))["params"]
-    out = enc.apply({"params": params}, jnp.asarray(d["ids"]))
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), jnp.asarray(d["ids"]))["params"]
+    out = jax.jit(enc.apply)({"params": params}, jnp.asarray(d["ids"]))
     np.testing.assert_allclose(np.asarray(out), d["expected"], rtol=1e-4, atol=1e-5)
