@@ -22,7 +22,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_REFERENCE_STEPS_PER_SEC = 2.5  # typical reference DreamBooth-LoRA rate
-STEPS_PER_DISPATCH = int(__import__("os").environ.get("DFT_BENCH_SPD", "30"))
+STEPS_PER_DISPATCH = int(__import__("os").environ.get("DFT_BENCH_SPD", "10"))
 
 
 def main():
