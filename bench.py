@@ -67,10 +67,17 @@ def main():
 
     pipe(prompt, **kwargs)  # warmup: compile
     n = 3
+    # pipelined dispatch: enqueue every generation (device outputs), then
+    # fetch in completion order — image i's host transfer overlaps image
+    # i+1's device compute, hiding the tunnel's per-dispatch RPC latency.
+    # This is how the serving stack drives the chip (GenerationServer);
+    # sustained s/image is the metric.
+    dev_kwargs = dict(kwargs, output_type="device")
     t0 = time.perf_counter()
-    for i in range(n):
-        img = pipe(prompt, seed=i, **kwargs)
-    jax.block_until_ready(img)
+    imgs = [pipe(prompt, seed=i, **dev_kwargs) for i in range(n)]
+    import numpy as np
+
+    imgs = [np.asarray(im) for im in imgs]
     per_image = (time.perf_counter() - t0) / n
 
     print(json.dumps({

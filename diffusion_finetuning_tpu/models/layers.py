@@ -45,6 +45,15 @@ _IM2COL_ENV = _os.environ.get("DFT_CONV_IM2COL", "auto")
 CONV_IM2COL = None if _IM2COL_ENV == "auto" else bool(int(_IM2COL_ENV))
 CONV_MM_MAX_ELEMS = int(_os.environ.get("DFT_CONV_MM_MAX_ELEMS", str(4 * 1024 * 1024)))
 CONV_SHIFTED = bool(int(_os.environ.get("DFT_CONV_SHIFTED", "1")))
+# Pallas fused conv (ops/conv_pallas.py): opt-in A/B only.  Device-profile
+# A/B on v5e (per-conv device time, jax.profiler — the chained-dispatch
+# microbench floor had inflated all earlier per-conv numbers ~2x): the
+# kernel loses to the shipped routing at every SD shape (64^2x320: 187 vs
+# 136 us shifted; 16^2x1280: 163 vs 108; b8 32^2x640: 637 vs 317 XLA) —
+# XLA's conv/matmul emitters already run these at 60-85% of roofline, and
+# the kernel pays x9 tap-stacking traffic plus per-o-block weight
+# re-streaming.  Kept for re-measurement on future hardware.
+CONV_PALLAS = bool(int(_os.environ.get("DFT_CONV_PALLAS", "0")))
 
 
 def _use_matmul_conv() -> bool:
@@ -197,6 +206,13 @@ class LoRAConv(nn.Module):
         x = x.astype(dtype)
 
         def conv(inp, k, strides):
+            if CONV_PALLAS and jax.default_backend() == "tpu":
+                from ..ops import conv_pallas
+
+                if conv_pallas.supported(inp.shape, k.shape, strides):
+                    return conv_pallas.conv3x3(
+                        inp, k.astype(dtype),
+                        jnp.zeros((k.shape[-1],), dtype))
             if (
                 _use_matmul_conv()
                 and strides == (1, 1)

@@ -8,21 +8,23 @@ b2 64x64x320 on v5e: 266 us/conv (shifted) vs a ~77 us MXU-bound ideal.
 
 This kernel keeps the accumulator in VMEM for all 9 taps:
 
-- Outside the kernel, the padded input is stacked into three row-shifted
-  views ``x3[b, kh] = xp[b, kh:kh+H]`` (one cheap XLA fusion, ~2 extra input
-  copies of HBM traffic).  Row-shifted views make every LHS a CONTIGUOUS
-  (rows x Wp x C) block — no strided gathers feeding the MXU.
-- Grid: (batch, H/bh row blocks, O/bn output-channel blocks).  Each step
-  loads its x3 block once, then runs 9 matmuls ``(bh*Wp, C) @ (C, bn)`` —
-  one per tap — accumulating into an fp32 VMEM scratch with a W-shifted
-  add (the kw shift is a cheap sublane slice; lane dim = output channels
-  stays tile-aligned because bn = 128).
+- Outside the kernel, the padded input is stacked into nine tap views
+  ``x9[b, 3*kh+kw] = xp[b, kh:kh+H, kw:kw+W]`` flattened to dense 2D row
+  blocks (B, 9, H*W, C).  Each view is a strided memcpy fusion in XLA
+  (rows are W*C contiguous bytes) — ~8 extra input copies of HBM traffic,
+  which is cheap next to the 9x accumulator round-trips it removes.
+- Grid: (batch, H/bh row blocks, O/128 output-channel blocks).  Each step
+  runs 9 tile-aligned matmuls ``(bh*W, C) @ (C, 128)`` — one per tap —
+  accumulating into an fp32 VMEM scratch.  No in-kernel reshapes or
+  slices: a W-shift-in-VMEM variant (only 3 row-shifted views) was
+  measured 40% SLOWER than XLA because its (bh, W+2, C) -> (bh*(W+2), C)
+  reshape breaks sublane tile alignment and Mosaic relayouts every block.
 - Bias is fused into the epilogue.
 
-HBM traffic per conv: input x3 once + weights + output once — vs ~9x
-(input + accumulator) for the shifted-matmul form.  FLOPs are identical to
-the direct conv up to the Wp/W row padding (~3% at W=64) and the O -> bn
-round-up (20% at O=320, 0% at 640/1280).
+HBM traffic per conv: x9 once (9x input bytes, written once read once) +
+weights + output once — vs ~9x (input + fp32 accumulator) round-trips for
+the shifted-matmul form.  FLOPs are identical to the direct conv up to the
+O -> 128 round-up (20% at O=320, 0% at 640/1280).
 
 The backward pass is delegated to XLA's conv transpose machinery via
 ``jax.custom_vjp`` (the reference derivative of an equivalent
@@ -50,25 +52,32 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(x3_ref, w_ref, b_ref, o_ref, acc_ref, *, width):
+def _row_block(H, W, C):
+    """Rows per grid step: big enough to feed the MXU (target 512), small
+    enough that the double-buffered 9-tap x9 block stays ~<=3MB of VMEM."""
+    rows_cap = max(64, min(512, 1572864 // (9 * C)))
+    return max(1, min(H, rows_cap // W))
+
+
+def _kernel(x9_ref, w_ref, b_ref, o_ref, acc_ref):
     """One (batch, row-block, cout-block) grid step.
 
-    x3_ref: (1, 3, bh, Wp, C) row-shifted input views (bf16/fp32)
-    w_ref:  (3, 3, C, bn) tap weights
+    x9_ref: (1, 9, bh*W, C) tap views, each a dense row-major 2D matrix
+    w_ref:  (9, C, bn) tap weights
     b_ref:  (1, bn) bias
-    o_ref:  (1, bh, W, bn) output block
-    acc_ref: (bh, W, bn) fp32 scratch accumulator
+    o_ref:  (1, bh*W, bn) output block
+    acc_ref: (bh*W, bn) fp32 scratch accumulator
+
+    Everything is 2D and tile-aligned — no in-kernel reshapes or slices
+    (an early variant sliced W-shifted windows of a (bh, W+2, C) block in
+    VMEM; W+2 breaks sublane alignment and Mosaic relayouts the whole
+    block every step, which cost more than the matmuls).
     """
-    _, _, bh, wp, c = x3_ref.shape
-    bn = o_ref.shape[-1]
     acc_ref[...] = jnp.broadcast_to(
         b_ref[0].astype(jnp.float32), acc_ref.shape)
-    for kh in range(3):
-        lhs = x3_ref[0, kh].reshape(bh * wp, c)
-        for kw in range(3):
-            y = jnp.dot(lhs, w_ref[kh, kw],
-                        preferred_element_type=jnp.float32)
-            acc_ref[...] += y.reshape(bh, wp, bn)[:, kw:kw + width, :]
+    for t in range(9):
+        acc_ref[...] += jnp.dot(x9_ref[0, t], w_ref[t],
+                                preferred_element_type=jnp.float32)
     o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
@@ -78,33 +87,39 @@ def _conv3x3_fwd(x, kernel, bias, *, interpret=False):
     B, H, W, C = x.shape
     _, _, _, O = kernel.shape
     dtype = x.dtype
-    Wp = W + 2
-    bh = min(H, 16)
+    bh = _row_block(H, W, C)
     Op = _cdiv(O, BN) * BN
     if Op != O:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, Op - O)))
         bias = jnp.pad(bias, (0, Op - O))
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # three row-shifted views: x3[b, kh] = xp[b, kh:kh+H]  (B, 3, H, Wp, C)
-    x3 = jnp.stack([xp[:, i:i + H] for i in range(3)], axis=1)
+    # nine tap views, one per (kh, kw), flattened to dense 2D row blocks.
+    # Each view is a strided slice whose rows are W*C contiguous bytes —
+    # a plain strided memcpy fusion in XLA (unlike im2col's lane-dim
+    # concat, which is a true relayout).
+    x9 = jnp.stack(
+        [xp[:, i:i + H, j:j + W] for i in range(3) for j in range(3)],
+        axis=1,
+    ).reshape(B, 9, H * W, C)
     bias2d = bias.reshape(1, Op).astype(dtype)
-    kernel = kernel.astype(dtype)
+    w9 = kernel.astype(dtype).reshape(9, C, Op)
 
     grid = (B, H // bh, Op // BN)
     out = pl.pallas_call(
-        functools.partial(_kernel, width=W),
+        _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, bh, Wp, C), lambda b, h, o: (b, 0, h, 0, 0)),
-            pl.BlockSpec((3, 3, C, BN), lambda b, h, o: (0, 0, 0, o)),
+            pl.BlockSpec((1, 9, bh * W, C), lambda b, h, o: (b, 0, h, 0)),
+            pl.BlockSpec((9, C, BN), lambda b, h, o: (0, 0, o)),
             pl.BlockSpec((1, BN), lambda b, h, o: (0, o)),
         ],
-        out_specs=pl.BlockSpec((1, bh, W, BN), lambda b, h, o: (b, h, 0, o)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Op), dtype),
-        scratch_shapes=[pltpu.VMEM((bh, W, BN), jnp.float32)],
+        out_specs=pl.BlockSpec((1, bh * W, BN), lambda b, h, o: (b, h, o)),
+        out_shape=jax.ShapeDtypeStruct((B, H * W, Op), dtype),
+        scratch_shapes=[pltpu.VMEM((bh * W, BN), jnp.float32)],
         interpret=interpret,
-    )(x3, kernel, bias2d)
+    )(x9, w9, bias2d)
+    out = out.reshape(B, H, W, Op)
     return out[..., :O] if Op != O else out
 
 
@@ -152,17 +167,18 @@ def supported(x_shape, kernel_shape, strides) -> bool:
     kh, kw, _, O = kernel_shape
     if (kh, kw) != (3, 3) or strides != (1, 1):
         return False
-    if H < 8 or H % min(H, 16) != 0:
+    if H < 8 or H % _row_block(H, W, C) != 0:
         return False
     # MXU-feedable contraction + lane dims; tiny C (e.g. the RGB stem),
     # tiny O (e.g. rank-r LoRA down convs, O -> 128 lane round-up), or
     # tiny W would waste the tile
     if C % 16 != 0 or C < 64 or O < 64 or W < 8:
         return False
-    # VMEM budget (double-buffered x3 + weights + fp32 accumulator);
+    # VMEM budget (double-buffered x9 + weights + fp32 accumulator);
     # 2-byte elements — the TPU compute path is bf16
-    bh = min(H, 16)
-    vmem = (2 * 3 * bh * (W + 2) * C * 2
-            + 2 * 9 * C * BN * 2 + bh * (W + 2) * BN * 4
-            + 2 * bh * W * BN * 4)
+    bh = _row_block(H, W, C)
+    vmem = (2 * 9 * bh * W * C * 2
+            + 2 * 9 * C * BN * 2
+            + bh * W * BN * 4
+            + 2 * bh * W * BN * 2)
     return vmem <= 12 * 1024 * 1024

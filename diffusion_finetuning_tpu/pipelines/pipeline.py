@@ -850,6 +850,13 @@ class StableDiffusionPipeline:
 
     @staticmethod
     def _postprocess(images: jnp.ndarray, output_type: str):
+        if output_type == "device":
+            # async mode: hand back the on-device uint8 array without
+            # forcing a host transfer — the dispatch is already enqueued,
+            # so the caller can pipeline the next generation behind this
+            # one and fetch (np.asarray) in completion order, overlapping
+            # per-dispatch host/RPC latency with device compute
+            return images
         images = np.asarray(images)
         if images.dtype != np.uint8:
             # both built-in paths emit uint8 from the jit; this branch only

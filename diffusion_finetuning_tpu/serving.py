@@ -120,16 +120,24 @@ class GenerationServer:
             r.fail(RuntimeError("server closed"))
 
     # -- worker --------------------------------------------------------------
-    def _collect(self) -> List[_Request]:
+    def _collect(self, block: bool = True) -> List[_Request]:
         if self._carry is not None:
             first, self._carry = self._carry, None
-        else:
+        elif block:
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
                 return []
+        else:
+            # pipelined mode: a dispatch is already in flight on the device;
+            # grab whatever is queued RIGHT NOW (no idle wait, no coalescing
+            # window — the in-flight generation time is the window)
+            try:
+                first = self._q.get_nowait()
+            except queue.Empty:
+                return []
         batch = [first]
-        if self._q.qsize() < self.max_batch - 1:
+        if block and self._q.qsize() < self.max_batch - 1:
             # coalescing window — skipped when a full batch is already queued
             self._stop.wait(self.max_wait_s)
         while len(batch) < self.max_batch:
@@ -152,34 +160,61 @@ class GenerationServer:
                 return b
         return self.allowed_batches[-1]
 
+    def _resolve(self, pending) -> None:
+        batch, n, dev_images = pending
+        try:
+            # np.asarray here is the host fetch — it waits for this batch's
+            # device work, which has been overlapping the NEXT dispatch
+            images = self.pipe._postprocess(dev_images, "pil")
+            for r, img in zip(batch, images[:n]):
+                r.resolve(img)
+        except Exception as e:
+            for r in batch:
+                r.fail(e)
+
     def _loop(self):
+        # Depth-2 dispatch pipeline: enqueue batch i+1 on the device
+        # (output_type="device" returns without a host sync) BEFORE fetching
+        # batch i's images, so per-dispatch host/RPC latency and the host
+        # fetch hide under device compute.  `pending` holds the in-flight
+        # batch; under sparse traffic (_collect(block=False) finds nothing)
+        # it resolves immediately, adding no latency.
+        pending = None
         try:
             while not self._stop.is_set():
-                batch = self._collect()
-                if not batch:
-                    continue
-                r0 = batch[0]
-                n = len(batch)
-                nb = self._rounded(n)
-                prompts = [r.prompt for r in batch] + [r0.prompt] * (nb - n)
-                negs = ([r.negative_prompt for r in batch]
-                        + [r0.negative_prompt] * (nb - n))
-                seeds = [r.seed for r in batch] + [r0.seed] * (nb - n)
-                try:
-                    images = self.pipe(
-                        prompts, negative_prompt=negs, height=r0.height,
-                        width=r0.width, num_inference_steps=r0.steps,
-                        guidance_scale=r0.guidance_scale,
-                        scheduler=r0.scheduler,
-                        seed=seeds,  # per-request seeds honored inside the jit
-                        output_type="pil",
-                    )
-                    for r, img in zip(batch, images[:n]):
-                        r.resolve(img)
-                except Exception as e:
-                    for r in batch:
-                        r.fail(e)
+                batch = self._collect(block=pending is None)
+                dev = None
+                if batch:
+                    r0 = batch[0]
+                    n = len(batch)
+                    nb = self._rounded(n)
+                    prompts = ([r.prompt for r in batch]
+                               + [r0.prompt] * (nb - n))
+                    negs = ([r.negative_prompt for r in batch]
+                            + [r0.negative_prompt] * (nb - n))
+                    seeds = [r.seed for r in batch] + [r0.seed] * (nb - n)
+                    try:
+                        dev = self.pipe(
+                            prompts, negative_prompt=negs, height=r0.height,
+                            width=r0.width, num_inference_steps=r0.steps,
+                            guidance_scale=r0.guidance_scale,
+                            scheduler=r0.scheduler,
+                            seed=seeds,  # per-request seeds, inside the jit
+                            output_type="device",
+                        )
+                    except Exception as e:
+                        for r in batch:
+                            r.fail(e)
+                        batch = None
+                if pending is not None:
+                    self._resolve(pending)
+                    pending = None
+                if batch and dev is not None:
+                    pending = (batch, len(batch), dev)
         finally:
-            # on shutdown, fail whatever this thread still holds (including
-            # a request parked in _carry after close() already drained)
+            # on shutdown, resolve the in-flight batch and fail whatever
+            # this thread still holds (including a request parked in _carry
+            # after close() already drained)
+            if pending is not None:
+                self._resolve(pending)
             self._drain_and_fail()

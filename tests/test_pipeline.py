@@ -23,6 +23,23 @@ def test_txt2img_deterministic_per_seed(pipe):
     assert np.abs(a - c).max() > 0  # different seed, different image
 
 
+def test_device_output_pipelining(pipe):
+    """output_type='device' returns the on-device uint8 array without a
+    host sync, so callers can enqueue generation i+1 behind i and fetch in
+    completion order (bench.py / serving do this to hide per-dispatch RPC
+    latency). Values must match the synchronous np path exactly."""
+    import jax
+
+    ref = pipe("a photo", num_inference_steps=2, height=16, width=16,
+               seed=3, output_type="np")
+    devs = [pipe("a photo", num_inference_steps=2, height=16, width=16,
+                 seed=s, output_type="device") for s in (3, 4)]
+    assert all(isinstance(d, jax.Array) for d in devs)
+    got = np.asarray(devs[0])
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got.astype(np.float32) / 255.0, ref)
+
+
 def test_pndm_scheduler_path(pipe):
     img = pipe("a photo", num_inference_steps=4, height=16, width=16,
                scheduler="pndm", output_type="np")

@@ -202,6 +202,7 @@ from diffusion_finetuning_tpu.models.layers import (  # noqa: E402
     _im2col_conv,
     _shifted_matmul_conv,
 )
+from diffusion_finetuning_tpu.ops.conv_pallas import conv3x3  # noqa: E402
 
 CONV_SHAPES = [  # (B, H, W, C) at the SD1.5 UNet levels
     ("conv_b2_64x64x320", 2, 64, 64, 320),
@@ -234,10 +235,17 @@ def conv_case(name, b, h, w, c, dtype):
         im_grads = im_vjp(g)
         xl_out, xl_vjp = jax.vjp(conv_xla, x, k)
         xl_grads = xl_vjp(g)
+        # compiled (non-interpret) Pallas conv kernel; its custom-VJP
+        # backward is the XLA conv vjp, so the fwd row is the new signal
+        zb = jnp.zeros((k.shape[-1],), x.dtype)
+        pa_out, pa_vjp = jax.vjp(lambda x, k: conv3x3(x, k, zb, INTERPRET),
+                                 x, k)
+        pa_grads = pa_vjp(g)
 
         res = {}
         for tag, out, grads in (("shifted", sh_out, sh_grads),
-                                ("im2col", im_out, im_grads)):
+                                ("im2col", im_out, im_grads),
+                                ("pallas", pa_out, pa_grads)):
             res[f"{tag}_fwd"] = (_err(out, ref_out), _err(xl_out, ref_out))
             for nm, fg, xg, rg in zip(("dx", "dk"), grads, xl_grads, ref_grads):
                 res[f"{tag}_{nm}"] = (_err(fg, rg), _err(xg, rg))
