@@ -186,6 +186,24 @@ class DiagonalGaussian:
     def mode(self) -> jnp.ndarray:
         return self.mean
 
+    def _tree_flatten(self):
+        return (self.mean, self.logvar, self.std), None
+
+    @classmethod
+    def _tree_unflatten(cls, _aux, leaves):
+        obj = cls.__new__(cls)
+        obj.mean, obj.logvar, obj.std = leaves
+        return obj
+
+
+# Registered as a pytree so `vae.encode` can be returned from jitted
+# functions (e.g. a jitted encode-only step) and carried through scans.
+jax.tree_util.register_pytree_node(
+    DiagonalGaussian,
+    DiagonalGaussian._tree_flatten,
+    DiagonalGaussian._tree_unflatten,
+)
+
 
 class AutoencoderKL(nn.Module):
     config: VAEConfig
