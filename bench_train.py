@@ -56,8 +56,6 @@ def main():
 
     optimizer = multi_group_optimizer(
         {"unet_lora": ParamGroup(lr=1e-4)},
-        lambda tree: {"unet_lora": jax.tree_util.tree_map(
-            lambda _: "unet_lora", tree["unet_lora"])},
         max_grad_norm=1.0,
     )
     step_fn = build_train_step(

@@ -442,7 +442,6 @@ def train(
                 total_steps=max_train_steps_ti, weight_decay=weight_decay_ti,
                 step_multiplier=gradient_accumulation_steps,
             )},
-            lambda tree: {"ti_embeddings": "ti_embeddings"},
             grad_accum_steps=gradient_accumulation_steps,
             use_8bit=use_8bit_adam,
         )
@@ -474,7 +473,6 @@ def train(
             weight_decay=weight_decay_lora,
         )
     }
-    labels = {"unet_lora": "unet_lora"}
     partition2 = TrainablePartition(
         unet_lora=True,
         text_lora=train_text_encoder,
@@ -486,7 +484,6 @@ def train(
             lr=continue_inversion_lr if continue_inversion_lr is not None else ti_lr,
             schedule="constant", weight_decay=weight_decay_lora,
         )
-        labels["ti_embeddings"] = "ti_embeddings"
     if train_text_encoder:
         rng, key = jax.random.split(rng)
         pipe.text_encoder_lora = lora_lib.inject_trainable_lora(
@@ -497,18 +494,10 @@ def train(
             warmup_steps=lr_warmup_steps_lora, total_steps=max_train_steps_tuning,
             weight_decay=weight_decay_lora,
         )
-        labels["text_lora"] = "text_lora"
         print(lora_lib.inspect_lora(pipe.text_encoder_lora))
 
-    def label_fn(tree):
-        return {
-            k: (jax.tree_util.tree_map(lambda _: k, tree[k])
-                if k in ("unet_lora", "text_lora") else k)
-            for k in tree
-        }
-
     optimizer2 = multi_group_optimizer(
-        groups, label_fn, max_grad_norm=1.0, use_8bit=use_8bit_adam
+        groups, max_grad_norm=1.0, use_8bit=use_8bit_adam
     )
     train_dataset.blur_amount = 70
 

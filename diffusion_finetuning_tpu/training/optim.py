@@ -27,8 +27,28 @@ def lr_schedule(
     num_warmup_steps: int = 0,
     num_training_steps: int = 10000,
 ) -> optax.Schedule:
-    """HF diffusers get_scheduler parity for the names the reference uses."""
-    name = name.lower()
+    """HF diffusers get_scheduler parity for the names the reference uses.
+
+    Memoized on its (all-scalar) arguments: equal specs return the *same*
+    callable, which keeps schedule identity stable so downstream
+    config-keyed executable caches (see ``build_train_step``) can hit.
+    """
+    key = (name.lower(), learning_rate, num_warmup_steps, num_training_steps)
+    hit = _LR_SCHEDULE_CACHE.get(key)
+    if hit is None:
+        hit = _LR_SCHEDULE_CACHE[key] = _lr_schedule_uncached(*key)
+    return hit
+
+
+_LR_SCHEDULE_CACHE: Dict[Any, optax.Schedule] = {}
+
+
+def _lr_schedule_uncached(
+    name: str,
+    learning_rate: float,
+    num_warmup_steps: int = 0,
+    num_training_steps: int = 10000,
+) -> optax.Schedule:
     if name == "constant":
         return optax.constant_schedule(learning_rate)
     if name == "constant_with_warmup":
@@ -62,6 +82,29 @@ def lr_schedule(
     raise ValueError(f"unknown lr schedule {name}")
 
 
+@dataclasses.dataclass(frozen=True)
+class StepGate:
+    """Declarative 0/1 LR gate on the step counter.
+
+    Evaluates to 1.0 when ``(count >= threshold) == on_after`` — the staged
+    TI-then-LoRA schedule of the reference (train_lora_w_ti.py:988-994:
+    LoRA groups gated on after ``unfreeze_lora_step``, TI gated off).
+    Being a frozen dataclass it is hashable, so optimizers built from it
+    participate in the config-keyed executable caches.
+    """
+
+    threshold: int
+    on_after: bool = True
+
+    def __call__(self, count):
+        cond = count >= self.threshold
+        if not self.on_after:
+            cond = ~cond if hasattr(cond, "dtype") else (not cond)
+        if hasattr(cond, "astype"):
+            return cond.astype(jnp.float32)
+        return float(cond)
+
+
 @dataclasses.dataclass
 class ParamGroup:
     """One optimizer parameter group (reference per-group dict entries)."""
@@ -83,6 +126,18 @@ class ParamGroup:
     # TI-then-LoRA gating of train_lora_w_ti.py:988-994 (group LRs forced to
     # 0 before/after ``unfreeze_lora_step``)
     lr_gate: Optional[Any] = None  # Callable[[count], float 0/1]
+
+    def cache_key(self):
+        """Hashable identity tuple (raises TypeError for opaque lr_gate
+        callables — callers treat that as 'not cacheable')."""
+        gate = self.lr_gate
+        if gate is not None and not isinstance(gate, StepGate):
+            raise TypeError("opaque lr_gate callable is not cacheable")
+        key = (self.lr, self.schedule, self.warmup_steps, self.total_steps,
+               self.weight_decay, tuple(self.betas), self.eps,
+               self.step_multiplier, gate)
+        hash(key)
+        return key
 
     def make(self, use_8bit: bool = False) -> optax.GradientTransformation:
         base = lr_schedule(self.schedule, self.lr, self.warmup_steps, self.total_steps)
@@ -106,9 +161,19 @@ class ParamGroup:
         )
 
 
+def _identity_labels(tree):
+    """Label every leaf under each top-level subtree with that subtree's
+    name — the routing every trainer uses (torch param-group dicts keyed by
+    unet_lora / text_lora / ti_embeddings)."""
+    return {k: jax.tree_util.tree_map(lambda _: k, v) for k, v in tree.items()}
+
+
+_OPTIMIZER_CACHE: Dict[Any, optax.GradientTransformation] = {}
+
+
 def multi_group_optimizer(
     groups: Mapping[str, ParamGroup],
-    param_labels: Any,
+    param_labels: Any = None,
     grad_accum_steps: int = 1,
     max_grad_norm: Optional[float] = None,
     use_8bit: bool = False,
@@ -117,7 +182,26 @@ def multi_group_optimizer(
 
     ``param_labels``: pytree (or callable) labelling each leaf with a group
     name.  Mirrors torch param-group dicts (train_lora_dreambooth.py:659-669).
+    ``None`` (the default, and what every trainer wants) labels each
+    top-level subtree with its own name.
+
+    With default labeling and declarative groups (scalar hyperparams,
+    ``StepGate`` gates), equal specs return the *same* transform object, so
+    ``build_train_step``'s config-keyed cache can reuse traced/compiled
+    train-step executables across trainer invocations in one process —
+    repeat runs and hyperparameter sweeps re-trace nothing that matches.
     """
+    key = None
+    if param_labels is None:
+        try:
+            key = (tuple(sorted((n, g.cache_key()) for n, g in groups.items())),
+                   grad_accum_steps, max_grad_norm, use_8bit)
+            hit = _OPTIMIZER_CACHE.get(key)
+            if hit is not None:
+                return hit
+        except TypeError:
+            key = None
+        param_labels = _identity_labels
     tx = optax.multi_transform(
         {name: g.make(use_8bit) for name, g in groups.items()}, param_labels
     )
@@ -128,6 +212,8 @@ def multi_group_optimizer(
     out = optax.chain(*chain)
     if grad_accum_steps > 1:
         out = optax.MultiSteps(out, every_k_schedule=grad_accum_steps)
+    if key is not None:
+        _OPTIMIZER_CACHE[key] = out
     return out
 
 

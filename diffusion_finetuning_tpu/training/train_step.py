@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -71,6 +72,20 @@ class TrainablePartition:
     ti_constrained: bool = True
 
 
+# Config-keyed process-wide cache of step closures (the analogue of the
+# pipeline layer's _SHARED_EXEC_CACHE, pipelines/pipeline.py:44).  A step
+# closure is a pure function of: the flax modules (frozen dataclasses,
+# equal-by-config), the scheduler config, the optimizer object (equal specs
+# return the SAME object via multi_group_optimizer's cache), the partition
+# fields, and the scalar knobs.  Returning the same closure for an equal
+# key lets jit_train_step / multi_step reuse traced executables across
+# trainer invocations in one process — a hyperparameter sweep or a repeat
+# phase re-traces (and over a remote-compile TPU tunnel, re-compiles)
+# nothing.  Unhashable components (hand-built optimizers, opaque schedule
+# callables) silently fall back to a fresh build.
+_STEP_CACHE: Dict[Any, Callable] = {}
+
+
 def build_train_step(
     *,
     unet,
@@ -101,6 +116,21 @@ def build_train_step(
             "clip_ti_decay needs ti_lr_schedule (lambda = min(1, 100*lr)); "
             "without it the norm decay would silently be a no-op"
         )
+    # snapshot: the closure must not observe later caller mutations
+    partition = dataclasses.replace(partition)
+    try:
+        key = (
+            unet, text_encoder, vae,
+            type(scheduler).__name__, dataclasses.astuple(scheduler.config),
+            optimizer, dataclasses.astuple(partition),
+            t_mutliplier, with_prior_preservation, prior_loss_weight,
+            clip_ti_decay, ti_lr_schedule, grad_accum_steps,
+        )
+        hash(key)
+    except (TypeError, AttributeError):
+        key = None
+    if key is not None and key in _STEP_CACHE:
+        return _STEP_CACHE[key]
 
     def trainable_loss(train_params, static, batch, rng):
         text_params = static["text_params"]
@@ -180,7 +210,16 @@ def build_train_step(
         }
         return new_state, {"loss": loss}
 
+    if key is not None:
+        _STEP_CACHE[key] = step
     return step
+
+
+# step_fn -> {k: fused closure}; keyed weakly so dropping a step function
+# releases its fused variants (unless pinned by _STEP_CACHE, intentionally)
+_MULTI_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Dict[int, Callable]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def multi_step(step_fn: Callable, k: int) -> Callable:
@@ -194,7 +233,13 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
     ``batches`` leaf is ``(k, ...)`` and each metrics leaf is stacked
     ``(k,)``; the rng is split per step, so results are identical to ``k``
     sequential ``step_fn`` calls with those keys.
+
+    Memoized on ``(step_fn, k)``: repeat wrapping of the same step function
+    returns the same closure, so downstream jit caches can hit.
     """
+    per_fn = _MULTI_STEP_CACHE.setdefault(step_fn, {})
+    if k in per_fn:
+        return per_fn[k]
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -205,6 +250,7 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
 
         return jax.lax.scan(body, state, (batches, keys))
 
+    per_fn[k] = fused
     return fused
 
 
@@ -304,6 +350,13 @@ class FusedDispatcher:
         return state, jnp.stack(losses)
 
 
+# step_fn -> {(mesh, donate, batch_ndims): jitted fn}; only populated when
+# state_shardings is None (sharding pytrees are unhashable and rare)
+_JIT_CACHE: "weakref.WeakKeyDictionary[Callable, Dict[Any, Callable]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
                    state_shardings=None, batch_ndims: int = 1):
     # donate=True invalidates the caller's `state` buffers — including the
@@ -316,18 +369,33 @@ def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
     frozen model params ZeRO-3-sharded over an ``fsdp`` mesh axis (XLA
     all-gathers them at use sites).  ``batch_ndims=2`` marks a multi_step
     batch (leading steps axis, batch axis second) so the data axis shards
-    dim 1, not the steps dim."""
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    dim 1, not the steps dim.
 
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(
-        mesh, P(*([None] * (batch_ndims - 1) + ["data"])))
-    state_in = rep if state_shardings is None else state_shardings
-    return jax.jit(
-        step_fn,
-        in_shardings=(state_in, data, rep),
-        out_shardings=(state_in, rep),
-        donate_argnums=(0,) if donate else (),
-    )
+    Memoized on ``(step_fn, mesh, donate, batch_ndims)`` when no sharding
+    override is given: re-jitting the same step function returns the same
+    wrapper, whose traces/executables jax then reuses.
+    """
+    cache = None
+    if state_shardings is None:
+        cache = _JIT_CACHE.setdefault(step_fn, {})
+        ckey = (mesh, donate, batch_ndims)
+        if ckey in cache:
+            return cache[ckey]
+    if mesh is None:
+        out = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        data = NamedSharding(
+            mesh, P(*([None] * (batch_ndims - 1) + ["data"])))
+        state_in = rep if state_shardings is None else state_shardings
+        out = jax.jit(
+            step_fn,
+            in_shardings=(state_in, data, rep),
+            out_shardings=(state_in, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+    if cache is not None:
+        cache[ckey] = out
+    return out

@@ -96,8 +96,8 @@ def test_dreambooth_steps_per_dispatch_matches_per_step(tmp_path):
             "--output_dir", out,
             "--resolution", "16",
             "--train_batch_size", "1",
-            "--max_train_steps", "3",   # 2-step fused group + 1-step tail
-            "--save_steps", "0",
+            "--max_train_steps", "2",   # one fused group (tail fallback is
+            "--save_steps", "0",        # covered in tests/test_multi_step.py)
             "--lora_rank", "1",
             "--learning_rate", "1e-3",
             "--output_format", "pt",
@@ -108,7 +108,7 @@ def test_dreambooth_steps_per_dispatch_matches_per_step(tmp_path):
     # (numeric equivalence of fused vs sequential dispatch is proven
     # bit-for-bit in tests/test_multi_step.py; here we drive the CLI path)
     s2 = run(str(tmp_path / "o2"), ["--steps_per_dispatch", "2"])
-    assert int(np.asarray(s2["step"])) == 3
+    assert int(np.asarray(s2["step"])) == 2
     moved = [v for vals in
              L.inspect_lora(s2["params"]["unet_lora"]).values()
              for v in vals]
@@ -116,7 +116,12 @@ def test_dreambooth_steps_per_dispatch_matches_per_step(tmp_path):
 
 
 def test_dreambooth_resume(tmp_path):
-    """--resume_unet warm-starts from a saved flat list."""
+    """--resume_unet warm-starts from a saved flat list.
+
+    max_train_steps=0 (no optimizer motion, no train-step trace): the saved
+    output must equal the resume input bit-for-bit through the fp16 save
+    cast, proving the CLI wiring resume->inject->save end to end.  Training
+    *after* a warm start is the steps_per_dispatch test's job."""
     import train_lora_dreambooth as db
     from tests.test_cli_tools import _tiny_pipe, _write_tokenizer, _random_flat
     from diffusion_finetuning_tpu.models import hf_export
@@ -143,17 +148,15 @@ def test_dreambooth_resume(tmp_path):
         "--output_dir", out,
         "--resolution", "16",
         "--train_batch_size", "1",
-        "--max_train_steps", "1",
+        "--max_train_steps", "0",
         "--save_steps", "0",
         "--lora_rank", "2",
-        "--learning_rate", "0",
-        "--adam_weight_decay", "0",
         "--resume_unet", resume,
         "--output_format", "pt",
         "--seed", "6",
     ])
     db.main(args)
-    # lr=0, wd=0: saved weights == resume weights (fp16 round-trip)
+    # zero steps: saved weights == resume weights (fp16 round-trip)
     flat_out = torch_pickle.load(os.path.join(out, "lora_weight.pt"))
     for a, b in zip(flat, flat_out):
         np.testing.assert_allclose(

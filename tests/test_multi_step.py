@@ -36,14 +36,12 @@ def setup():
         unet_lora_targets(ucfg), lora_lib.DEFAULT_TARGET_REPLACE)
     unet_lora = lora_lib.inject_trainable_lora(targets, jax.random.PRNGKey(1), r=1)
     optimizer = multi_group_optimizer(
-        {"unet_lora": ParamGroup(lr=1e-3)},
-        lambda tree: {"unet_lora": jax.tree_util.tree_map(
-            lambda _: "unet_lora", tree["unet_lora"])},
-        max_grad_norm=1.0,
+        {"unet_lora": ParamGroup(lr=1e-3)}, max_grad_norm=1.0,
     )
+    scheduler = DDPMScheduler(SchedulerConfig())
     step_fn = build_train_step(
         unet=unet, text_encoder=text_encoder, vae=vae,
-        scheduler=DDPMScheduler(SchedulerConfig()), optimizer=optimizer,
+        scheduler=scheduler, optimizer=optimizer,
         partition=TrainablePartition(unet_lora=True),
     )
     params = {"unet_lora": unet_lora}
@@ -115,6 +113,54 @@ def test_multi_step_on_mesh(setup):
     st, ms = fused(st, stack_batches(batches), jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(ms["loss"])).all()
     assert int(st["step"]) == k
+
+
+def test_executable_caches_reuse(setup):
+    """Equal declarative specs return the SAME objects all the way down
+    (optimizer -> step closure -> fused closure -> jit wrapper), so repeat
+    trainer invocations / sweeps in one process re-trace nothing.  Opaque
+    components must fall back to fresh builds."""
+    from diffusion_finetuning_tpu.models.unet import (
+        UNet2DConditionModel as U, UNetConfig as UC,
+    )
+    from diffusion_finetuning_tpu.models.clip_text import (
+        CLIPTextConfig as TC, CLIPTextModel as T,
+    )
+    from diffusion_finetuning_tpu.models.vae import (
+        AutoencoderKL as V, VAEConfig as VC,
+    )
+    from diffusion_finetuning_tpu.models.schedulers import (
+        DDPMScheduler, SchedulerConfig,
+    )
+
+    step_fn, _ = setup
+    # same spec -> same optimizer object
+    opt = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)}, max_grad_norm=1.0)
+    opt2 = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)}, max_grad_norm=1.0)
+    assert opt is opt2
+    # different lr -> different optimizer
+    assert opt is not multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=1.0)
+    # freshly-constructed equal modules/scheduler -> the SAME step closure
+    step2 = build_train_step(
+        unet=U(UC.tiny()), text_encoder=T(TC.tiny()), vae=V(VC.tiny()),
+        scheduler=DDPMScheduler(SchedulerConfig()), optimizer=opt,
+        partition=TrainablePartition(unet_lora=True),
+    )
+    assert step2 is step_fn
+    # wrapper caches: same (fn, k) / same jit params -> same objects
+    assert multi_step(step_fn, 3) is multi_step(step_fn, 3)
+    assert jit_train_step(step_fn) is jit_train_step(step_fn)
+    assert multi_step(step_fn, 2) is not multi_step(step_fn, 3)
+    # opaque label_fn -> uncacheable -> fresh transform each time
+    lbl = lambda tree: {"unet_lora": "unet_lora"}  # noqa: E731
+    assert multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)}, lbl, max_grad_norm=1.0,
+    ) is not multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)}, lbl, max_grad_norm=1.0,
+    )
 
 
 def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):

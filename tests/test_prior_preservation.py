@@ -37,9 +37,11 @@ def test_class_image_synthesis_and_prior_training(tmp_path):
         "--class_data_dir", str(class_dir),
         "--class_prompt", "a photo",
         "--with_prior_preservation",
-        "--class_image_inference_steps", "4",
+        # batch-1 2-step 16x16 generation: the same executable the pipeline
+        # tests trace (shared via the config-keyed pipeline exec cache)
+        "--class_image_inference_steps", "2",
         "--num_class_images", "2",
-        "--sample_batch_size", "2",
+        "--sample_batch_size", "1",
         "--output_dir", out,
         "--resolution", "16",
         "--train_batch_size", "1",

@@ -127,27 +127,32 @@ def test_pti_save_steps_zero_trains_to_completion(tiny_model_dir, instance_dir,
 
     before = _checkpoint_embedding(tiny_model_dir)
     out = str(tmp_path / "out2")
+    # phase-1 hyperparameters/shapes match the e2e test above on purpose:
+    # the config-keyed executable caches (training/train_step.py) make the
+    # repeat phase re-trace nothing, which is also what they exist for
     pipe = train(
         instance_data_dir=instance_dir,
         pretrained_model_name_or_path=tiny_model_dir,
         output_dir=out,
         use_template="object",
-        placeholder_tokens="<x>",
-        initializer_tokens="<zero>",
+        placeholder_tokens="<x>|<y>",
+        initializer_tokens="<zero>|<zero>",
         seed=3,
         resolution=16,
-        max_train_steps_ti=1,
+        train_batch_size=1,
+        max_train_steps_ti=4,
         max_train_steps_tuning=1,
         save_steps=0,
-        gradient_accumulation_steps=1,
+        gradient_accumulation_steps=2,
         lora_rank=2,
         continue_inversion=False,
         color_jitter=False,
         mixed_precision="no",
+        steps_per_dispatch=2,
     )
     assert not [f for f in os.listdir(out) if f.startswith("step_")]
 
     after = np.asarray(pipe.text_params["token_embedding"]["embedding"])
-    tid = pipe.tokenizer.convert_tokens_to_ids("<x>")
-    frozen = np.delete(np.arange(before.shape[0]), [tid])
+    tids = [pipe.tokenizer.convert_tokens_to_ids(t) for t in ("<x>", "<y>")]
+    frozen = np.delete(np.arange(before.shape[0]), tids)
     np.testing.assert_array_equal(after[frozen], before[frozen])

@@ -92,7 +92,10 @@ def test_pt_caption_end_to_end(tmp_path):
         # prior preservation synthesizes missing class images (reference
         # train_lora_w_ti.py:671-688) then doubles the batch
         "--with_prior_preservation",
-        "--class_image_inference_steps", "4",
+        # 2 steps / batch 1 / 16x16 = the same generation executable the
+        # pipeline tests and the prior-preservation test trace (the pipeline
+        # exec cache keys on configs, pipelines/pipeline.py:263)
+        "--class_image_inference_steps", "2",
         "--class_data_dir", class_dir,
         "--class_prompt", "a photo",
         "--num_class_images", "1",
@@ -104,16 +107,16 @@ def test_pt_caption_end_to_end(tmp_path):
         "--output_dir", out,
         "--resolution", "16",
         "--train_batch_size", "1",
-        "--max_train_steps", "3",
-        "--unfreeze_lora_step", "1",
+        "--max_train_steps", "4",   # two full fused groups (the tail
+        "--unfreeze_lora_step", "2",  # fallback is covered in test_multi_step)
         "--save_steps", "0",
         "--lora_rank", "1",
         "--seed", "5",
-        "--steps_per_dispatch", "2",   # 2 fused + 1 tail
+        "--steps_per_dispatch", "2",
     ])
     assert args.output_format == "pt"
     state = ptc.main(args)
-    assert int(np.asarray(state["step"])) == 3
+    assert int(np.asarray(state["step"])) == 4
     assert os.path.exists(os.path.join(out, "lora_weight.pt"))
     assert os.path.exists(os.path.join(out, "lora_weight.ti.pt"))
     # pt-only: no safetensors written

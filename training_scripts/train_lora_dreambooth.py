@@ -273,11 +273,8 @@ def main(args):
             step_multiplier=args.gradient_accumulation_steps,
         )
 
-    def label_fn(tree):
-        return {k: jax.tree_util.tree_map(lambda _: k, tree[k]) for k in tree}
-
     optimizer = multi_group_optimizer(
-        groups, label_fn, grad_accum_steps=args.gradient_accumulation_steps,
+        groups, grad_accum_steps=args.gradient_accumulation_steps,
         max_grad_norm=args.max_grad_norm, use_8bit=args.use_8bit_adam,
     )
 

@@ -44,7 +44,9 @@ from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler
 from diffusion_finetuning_tpu.models.unet import unet_lora_targets
 from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
 from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
-from diffusion_finetuning_tpu.training.optim import ParamGroup, multi_group_optimizer
+from diffusion_finetuning_tpu.training.optim import (
+    ParamGroup, StepGate, multi_group_optimizer,
+)
 from diffusion_finetuning_tpu.training.train_step import (
     FusedDispatcher,
     TrainablePartition,
@@ -240,28 +242,18 @@ def main(args, dataset_cls=None):
     else:
         groups = {
             "unet_lora": ParamGroup(
-                lr=lr, lr_gate=lambda c: (c >= unfreeze).astype(jnp.float32)
-                if hasattr(c, "astype") else float(c >= unfreeze), **common),
+                lr=lr, lr_gate=StepGate(unfreeze), **common),
             "text_lora": ParamGroup(
-                lr=lr_text, lr_gate=lambda c: (c >= unfreeze).astype(jnp.float32)
-                if hasattr(c, "astype") else float(c >= unfreeze), **common),
+                lr=lr_text, lr_gate=StepGate(unfreeze), **common),
             "ti_embeddings": ParamGroup(
-                lr=lr_ti, lr_gate=lambda c: (c < unfreeze).astype(jnp.float32)
-                if hasattr(c, "astype") else float(c < unfreeze), **common),
+                lr=lr_ti, lr_gate=StepGate(unfreeze, on_after=False), **common),
         }
         params = {"unet_lora": unet_lora, "text_lora": text_lora,
                   "ti_embeddings": emb}
         partition = TrainablePartition(unet_lora=True, text_lora=True, ti=True)
 
-    def label_fn(tree):
-        return {
-            k: (jax.tree_util.tree_map(lambda _: k, tree[k])
-                if k in ("unet_lora", "text_lora") else k)
-            for k in tree
-        }
-
     optimizer = multi_group_optimizer(
-        groups, label_fn, grad_accum_steps=args.gradient_accumulation_steps,
+        groups, grad_accum_steps=args.gradient_accumulation_steps,
         max_grad_norm=args.max_grad_norm, use_8bit=args.use_8bit_adam,
     )
     # clip_ti_decay=False: w_ti restores frozen rows but has no norm decay
