@@ -18,6 +18,8 @@ from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel, UNetConfi
 from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 from diffusion_finetuning_tpu.pipelines.pipeline import StableDiffusionPipeline
 
+from tests.jitutil import jit_apply, jit_init
+
 
 _TINY_PARAMS_MEMO = {}
 
@@ -32,11 +34,11 @@ def _tiny_pipe():
         # jitted inits: the executables land in the persistent test compile
         # cache, so warm runs skip the op-by-op init dispatch entirely
         rng = jax.random.PRNGKey(0)
-        unet_params = jax.jit(UNet2DConditionModel(ucfg).init)(
+        unet_params = jit_init(UNet2DConditionModel(ucfg))(
             rng, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 77, ucfg.cross_attention_dim)),
         )["params"]
-        vae_params = jax.jit(AutoencoderKL(vcfg).init)(
+        vae_params = jit_init(AutoencoderKL(vcfg))(
             rng, jnp.zeros((1, 16, 16, 3)), rng
         )["params"]
         # CLIP init stays unjitted: under jit its initializer values change

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from diffusion_finetuning_tpu.models import clip_text as ct
 
+from tests.jitutil import jit_apply, jit_init
+
 transformers = pytest.importorskip("transformers")
 torch = pytest.importorskip("torch")
 
@@ -51,7 +53,7 @@ def test_forward_parity(tiny_pair):
 def test_param_structure_matches_init(tiny_pair):
     cfg, _, params = tiny_pair
     model = ct.CLIPTextModel(cfg)
-    init = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    init = jit_init(model)(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))["params"]
     flat_a = jax.tree_util.tree_structure(init)
     flat_b = jax.tree_util.tree_structure(params)
     assert flat_a == flat_b

@@ -16,6 +16,8 @@ from diffusion_finetuning_tpu.models.unet import (
 )
 from diffusion_finetuning_tpu.tree_util import tree_get
 
+from tests.jitutil import jit_apply, jit_init
+
 
 @pytest.fixture(scope="module")
 def tiny():
@@ -23,7 +25,7 @@ def tiny():
     unet = UNet2DConditionModel(cfg)
     # jitted init: op-by-op init dispatch costs ~20 s on the 1-core box;
     # the executable lands in the persistent test compile cache
-    params = jax.jit(unet.init)(
+    params = jit_init(unet)(
         jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
         jnp.ones((1, 77, cfg.cross_attention_dim)),
     )["params"]

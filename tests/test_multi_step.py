@@ -18,6 +18,8 @@ from diffusion_finetuning_tpu.training.train_step import (
     stack_batches,
 )
 
+from tests.jitutil import jit_init
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -27,11 +29,11 @@ def setup():
     text_encoder = CLIPTextModel(tcfg)
     rng = jax.random.PRNGKey(0)
     # jitted inits: op-by-op init dispatch costs seconds on the 1-core box
-    unet_params = jax.jit(unet.init)(
+    unet_params = jit_init(unet)(
         rng, jnp.zeros((1, 8, 8, ucfg.in_channels)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, ucfg.cross_attention_dim)))["params"]
-    vae_params = jax.jit(vae.init)(rng, jnp.zeros((1, 16, 16, 3)), rng)["params"]
-    text_params = jax.jit(text_encoder.init)(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+    vae_params = jit_init(vae)(rng, jnp.zeros((1, 16, 16, 3)), rng)["params"]
+    text_params = jit_init(text_encoder)(rng, jnp.zeros((1, 77), jnp.int32))["params"]
     targets = lora_lib.filter_targets(
         unet_lora_targets(ucfg), lora_lib.DEFAULT_TARGET_REPLACE)
     unet_lora = lora_lib.inject_trainable_lora(targets, jax.random.PRNGKey(1), r=1)

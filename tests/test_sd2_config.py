@@ -10,6 +10,8 @@ import numpy as np
 from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler, SchedulerConfig
 from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel, UNetConfig
 
+from tests.jitutil import jit_apply, jit_init
+
 
 def _tiny_sd2_cfg():
     return UNetConfig(
@@ -30,8 +32,8 @@ def test_sd2_style_unet_forward_and_grad():
     x = jnp.ones((1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.ones((1, 77, 32))
-    params = jax.jit(unet.init)(rng, x, t, ctx)["params"]
-    out = jax.jit(unet.apply)({"params": params}, x, t, ctx)
+    params = jit_init(unet)(rng, x, t, ctx)["params"]
+    out = jit_apply(unet)({"params": params}, x, t, ctx)
     assert out.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -50,7 +52,7 @@ def test_sd2_roundtrip_through_hf_export():
 
     cfg = _tiny_sd2_cfg()
     unet = UNet2DConditionModel(cfg)
-    params = jax.jit(unet.init)(
+    params = jit_init(unet)(
         jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
         jnp.ones((1, 77, 32)),
     )["params"]

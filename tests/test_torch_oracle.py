@@ -23,6 +23,8 @@ from diffusion_finetuning_tpu.models import hf_loading
 from diffusion_finetuning_tpu.models.unet import UNet2DConditionModel, UNetConfig
 from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 
+from tests.jitutil import jit_apply, jit_init
+
 from tests.torch_oracle import TorchUNet, TorchVAE, randomize_
 
 
@@ -71,7 +73,7 @@ def test_unet_full_model_matches_torch_oracle(cfg):
 
     # jit: unjitted op-by-op dispatch dominates runtime on the 1-core CI box;
     # the executable lands in the persistent test compile cache
-    out = jax.jit(UNet2DConditionModel(cfg).apply)(
+    out = jit_apply(UNet2DConditionModel(cfg))(
         {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)

@@ -15,6 +15,8 @@ from diffusion_finetuning_tpu.models.unet import (
 from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 from diffusion_finetuning_tpu.tree_util import tree_get
 
+from tests.jitutil import jit_apply, jit_init
+
 GOLDEN = "/root/reference/example_loras/lora_disney.safetensors"
 
 
@@ -25,7 +27,7 @@ def tiny_unet():
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, cfg.sample_size, cfg.sample_size, 4))
     ctx = jnp.zeros((1, 77, cfg.cross_attention_dim))
-    params = jax.jit(model.init)(rng, sample, jnp.array([0]), ctx)["params"]
+    params = jit_init(model)(rng, sample, jnp.array([0]), ctx)["params"]
     return cfg, model, params
 
 
@@ -33,7 +35,7 @@ def test_unet_forward_shape(tiny_unet):
     cfg, model, params = tiny_unet
     x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.sample_size, cfg.sample_size, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 77, cfg.cross_attention_dim))
-    out = jax.jit(model.apply)({"params": params}, x, jnp.array([10, 500]), ctx)
+    out = jit_apply(model)({"params": params}, x, jnp.array([10, 500]), ctx)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
 
@@ -110,9 +112,9 @@ def test_gradient_checkpointing_same_output():
     m2 = UNet2DConditionModel(cfg_ckpt)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 77, cfg.cross_attention_dim))
-    params = jax.jit(m1.init)(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
-    o1 = jax.jit(m1.apply)({"params": params}, x, jnp.array([5]), ctx)
-    o2 = jax.jit(m2.apply)({"params": params}, x, jnp.array([5]), ctx)
+    params = jit_init(m1)(jax.random.PRNGKey(0), x, jnp.array([0]), ctx)["params"]
+    o1 = jit_apply(m1)({"params": params}, x, jnp.array([5]), ctx)
+    o2 = jit_apply(m2)({"params": params}, x, jnp.array([5]), ctx)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
 
 
@@ -120,7 +122,7 @@ def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     model = AutoencoderKL(cfg)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
+    variables = jit_init(model)(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2))
     params = variables["params"]
     @jax.jit
     def enc(p, xx, key):

@@ -33,6 +33,8 @@ from diffusion_finetuning_tpu.models.clip_text import CLIPTextConfig, CLIPTextMo
 from diffusion_finetuning_tpu.models.unet import UNetConfig, UNet2DConditionModel
 from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 
+from tests.jitutil import jit_apply, jit_init
+
 REF_TO_CKPT = "/root/reference/lora_diffusion/to_ckpt_v2.py"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
@@ -54,7 +56,7 @@ def tiny_unet_sd():
     every tensor filled with distinct values so misrouting is detectable."""
     cfg = UNetConfig.tiny()
     unet = UNet2DConditionModel(cfg)
-    params = jax.jit(unet.init)(
+    params = jit_init(unet)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 8, 8, 4)),
         jnp.zeros((1,), jnp.int32),
@@ -70,7 +72,7 @@ def mini_sd_vae_sd():
     cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                     norm_num_groups=4, sample_size=64)
     vae = AutoencoderKL(cfg)
-    params = jax.jit(vae.init)(
+    params = jit_init(vae)(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1)
     )["params"]
     return cfg, params, hf_export.vae_state_dict(params, cfg)
@@ -208,11 +210,11 @@ def test_unet_tiny_golden_activations():
     unet = UNet2DConditionModel(cfg)
     # jit-induced value shifts are ~1e-7 relative, far inside the pin
     # tolerance (rtol 1e-4); unjitted op-by-op dispatch costs ~10 s here
-    params = jax.jit(unet.init)(
+    params = jit_init(unet)(
         jax.random.PRNGKey(0), jnp.asarray(d["latents"]),
         jnp.asarray(d["t"]), jnp.asarray(d["ctx"]),
     )["params"]
-    out = jax.jit(unet.apply)({"params": params}, jnp.asarray(d["latents"]),
+    out = jit_apply(unet)({"params": params}, jnp.asarray(d["latents"]),
                               jnp.asarray(d["t"]), jnp.asarray(d["ctx"]))
     np.testing.assert_allclose(np.asarray(out), d["expected"], rtol=1e-4, atol=1e-5)
 
@@ -221,7 +223,7 @@ def test_vae_tiny_golden_activations():
     d = np.load(os.path.join(GOLDEN_DIR, "vae_tiny_golden.npz"))
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg)
-    params = jax.jit(vae.init)(
+    params = jit_init(vae)(
         jax.random.PRNGKey(0), jnp.asarray(d["img"]), jax.random.PRNGKey(4)
     )["params"]
     posterior = jax.jit(lambda p, x: vae.apply({"params": p}, x,
@@ -240,6 +242,6 @@ def test_clip_tiny_golden_activations():
     d = np.load(os.path.join(GOLDEN_DIR, "clip_tiny_golden.npz"))
     cfg = CLIPTextConfig.tiny()
     enc = CLIPTextModel(cfg)
-    params = jax.jit(enc.init)(jax.random.PRNGKey(0), jnp.asarray(d["ids"]))["params"]
-    out = jax.jit(enc.apply)({"params": params}, jnp.asarray(d["ids"]))
+    params = jit_init(enc)(jax.random.PRNGKey(0), jnp.asarray(d["ids"]))["params"]
+    out = jit_apply(enc)({"params": params}, jnp.asarray(d["ids"]))
     np.testing.assert_allclose(np.asarray(out), d["expected"], rtol=1e-4, atol=1e-5)
