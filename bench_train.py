@@ -23,6 +23,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_REFERENCE_STEPS_PER_SEC = 2.5  # typical reference DreamBooth-LoRA rate
 STEPS_PER_DISPATCH = int(__import__("os").environ.get("DFT_BENCH_SPD", "10"))
+# A/B knob: 1 = feed cached latent moments instead of pixels (the trainers'
+# --cache_latents path; valid for deterministic pixel pipelines).  Default
+# 0 keeps the headline metric = the reference's encode-every-step workload.
+CACHE_LATENTS = __import__("os").environ.get("DFT_BENCH_CACHE_LATENTS") == "1"
 
 
 def main():
@@ -81,6 +85,12 @@ def main():
         "pixel_values": np.zeros((1, 512, 512, 3), np.float32),
         "input_ids": np.zeros((1, 77), np.int32),
     }
+    if CACHE_LATENTS:
+        from diffusion_finetuning_tpu.training.latent_cache import (
+            LatentMomentCache,
+        )
+
+        batch = LatentMomentCache(vae, vae_params).transform(batch)
     batches = stack_batches([batch] * k)
 
     state, m = jitted(state, batches, jax.random.PRNGKey(2))  # compile

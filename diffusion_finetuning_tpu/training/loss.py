@@ -44,14 +44,20 @@ def loss_step(
     with_prior_preservation: bool = False,
     prior_loss_weight: float = 1.0,
 ) -> jnp.ndarray:
-    """batch: pixel_values (B,H,W,3) in [-1,1]; input_ids (B,77);
-    optional mask (B,H,W,1) in [0,1].  With prior preservation the batch is
-    [instance; class] stacked along axis 0 (collate order,
+    """batch: pixel_values (B,H,W,3) in [-1,1] — or latent_moments
+    (B,h,w,2C) from a LatentMomentCache, skipping the encoder; input_ids
+    (B,77); optional mask (B,H,W,1) in [0,1].  With prior preservation the
+    batch is [instance; class] stacked along axis 0 (collate order,
     cli_lora_pti.py:136-138)."""
     r_sample, r_noise, r_t = jax.random.split(rng, 3)
 
-    px = batch["pixel_values"]
-    posterior = vae.apply({"params": vae_params}, px, method=vae.encode)
+    if "latent_moments" in batch:
+        from ..models.vae import DiagonalGaussian
+
+        posterior = DiagonalGaussian(batch["latent_moments"])
+    else:
+        px = batch["pixel_values"]
+        posterior = vae.apply({"params": vae_params}, px, method=vae.encode)
     latents = posterior.sample(r_sample) * SCALING_FACTOR
     latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
 

@@ -66,6 +66,10 @@ def parse_args(input_args=None):
     a("--resolution", type=int, default=512)
     a("--center_crop", action="store_true")
     a("--color_jitter", action="store_true")
+    # encode each distinct image once instead of every step (numerically
+    # identical trajectory: the stochastic posterior sample stays in-step);
+    # incompatible with --color_jitter (continuous pixel augmentation)
+    a("--cache_latents", action="store_true")
     a("--train_text_encoder", action="store_true")
     a("--train_batch_size", type=int, default=4)
     a("--sample_batch_size", type=int, default=4)
@@ -370,9 +374,25 @@ def main(args):
                 f"{args.output_dir}/lora_weight_e{epoch}_s{step}.text_encoder.pt",
             )
 
+    latent_cache = None
+    if args.cache_latents:
+        if args.color_jitter:
+            raise ValueError(
+                "--cache_latents requires deterministic pixels; drop "
+                "--color_jitter (h-flips are fine: each orientation gets "
+                "its own cache entry)"
+            )
+        from diffusion_finetuning_tpu.training.latent_cache import (
+            LatentMomentCache,
+        )
+
+        latent_cache = LatentMomentCache(pipe.vae, pipe.vae_params)
+
     def batch_stream():
         for epoch in range(num_train_epochs):
             for batch in loader:
+                if latent_cache is not None:
+                    batch = latent_cache.transform(batch)
                 yield epoch, batch
 
     stream = batch_stream()
