@@ -37,3 +37,28 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def pytest_report_header(config):
     return f"jax devices: {jax.devices()}"
+
+
+# Long-lived jit executables/caches accumulate across the suite (that is
+# the point of the process-wide exec caches); cyclic-GC full collections
+# then rescan an ever-growing object graph during every big trace, making
+# late test modules 2-3x slower than the same module standalone.  Freeze
+# the survivors out of GC after each module instead.
+import gc
+
+# tracing a train step allocates millions of short-lived tracer objects;
+# the default gen-0 threshold (700) makes CPython collect thousands of
+# times per trace.  The box has 128 GB — trade collection frequency for
+# transient memory.
+gc.set_threshold(100_000, 50, 50)
+
+
+def pytest_collection_finish(session):
+    gc.freeze()
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # collect the test's own garbage, then freeze survivors (fixtures,
+    # cached executables) so later collections never rescan them
+    gc.collect()
+    gc.freeze()
