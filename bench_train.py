@@ -27,6 +27,9 @@ STEPS_PER_DISPATCH = int(__import__("os").environ.get("DFT_BENCH_SPD", "10"))
 # --cache_latents path; valid for deterministic pixel pipelines).  Default
 # 0 keeps the headline metric = the reference's encode-every-step workload.
 CACHE_LATENTS = __import__("os").environ.get("DFT_BENCH_CACHE_LATENTS") == "1"
+# A/B knob: 1 = donate the state buffers to the dispatch (XLA aliases the
+# pass-through frozen params instead of copying them at dispatch entry/exit)
+DONATE = __import__("os").environ.get("DFT_BENCH_DONATE") == "1"
 
 
 def main():
@@ -80,7 +83,7 @@ def main():
         "step": jnp.zeros((), jnp.int32),
     }
     k = STEPS_PER_DISPATCH
-    jitted = jit_train_step(multi_step(step_fn, k))
+    jitted = jit_train_step(multi_step(step_fn, k), donate=DONATE)
     batch = {
         "pixel_values": np.zeros((1, 512, 512, 3), np.float32),
         "input_ids": np.zeros((1, 77), np.int32),
