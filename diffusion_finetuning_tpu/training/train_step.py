@@ -131,6 +131,11 @@ def build_train_step(
         key = None
     if key is not None and key in _STEP_CACHE:
         return _STEP_CACHE[key]
+    # bound the pinned-executable footprint: a sweep over many distinct
+    # configs evicts oldest entries FIFO (their jit wrappers die with the
+    # closure via the WeakKey caches below)
+    if key is not None and len(_STEP_CACHE) >= 64:
+        _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
 
     def trainable_loss(train_params, static, batch, rng):
         text_params = static["text_params"]
