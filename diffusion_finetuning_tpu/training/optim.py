@@ -161,6 +161,57 @@ class ParamGroup:
         )
 
 
+def _runtime_lr_scale():
+    """Multiply the group's final update by a state-carried scalar.
+
+    The scalar is a *runtime* value (an opt_state leaf, not a trace
+    constant): sweeping it with :func:`set_lr_scale` never re-traces or
+    re-compiles the train step — one executable serves a whole LR sweep,
+    where a trace constant would cost a fresh full-pipeline compile
+    (10-30 min over a remote-runtime TPU tunnel) per sweep point.
+    Scaling the post-AdamW update is exactly scaling the learning rate
+    (decoupled weight decay is lr-coupled in AdamW, torch and optax both).
+    """
+
+    def init(params):
+        del params
+        return {"lr_scale": jnp.ones((), jnp.float32)}
+
+    def update(updates, state, params=None):
+        del params
+        s = state["lr_scale"]
+        return jax.tree_util.tree_map(lambda u: u * s, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_lr_scale(opt_state, group: str, value: float):
+    """Functionally set a group's runtime LR scale inside an opt_state.
+
+    Requires the optimizer to have been built with
+    ``multi_group_optimizer(..., runtime_lr_scale=True)``.  Returns a new
+    opt_state pytree; pass it back into the (unchanged, already-compiled)
+    train step.
+    """
+    from jax.tree_util import DictKey, tree_flatten_with_path, tree_unflatten
+
+    leaves_with_paths, treedef = tree_flatten_with_path(opt_state)
+    found = False
+    out = []
+    for path, leaf in leaves_with_paths:
+        keys = [k.key for k in path if isinstance(k, DictKey)]
+        if "lr_scale" in keys and group in keys:
+            leaf = jnp.asarray(value, jnp.float32)
+            found = True
+        out.append(leaf)
+    if not found:
+        raise ValueError(
+            f"no runtime lr_scale state for group {group!r} — build the "
+            "optimizer with multi_group_optimizer(..., runtime_lr_scale=True)"
+        )
+    return tree_unflatten(treedef, out)
+
+
 def _identity_labels(tree):
     """Label every leaf under each top-level subtree with that subtree's
     name — the routing every trainer uses (torch param-group dicts keyed by
@@ -177,6 +228,7 @@ def multi_group_optimizer(
     grad_accum_steps: int = 1,
     max_grad_norm: Optional[float] = None,
     use_8bit: bool = False,
+    runtime_lr_scale: bool = False,
 ) -> optax.GradientTransformation:
     """Build the reference's multi-LR optimizer as one optax transform.
 
@@ -195,15 +247,24 @@ def multi_group_optimizer(
     if param_labels is None:
         try:
             key = (tuple(sorted((n, g.cache_key()) for n, g in groups.items())),
-                   grad_accum_steps, max_grad_norm, use_8bit)
+                   grad_accum_steps, max_grad_norm, use_8bit, runtime_lr_scale)
             hit = _OPTIMIZER_CACHE.get(key)
             if hit is not None:
                 return hit
         except TypeError:
             key = None
         param_labels = _identity_labels
+
+    def make(g):
+        tx = g.make(use_8bit)
+        if runtime_lr_scale:
+            # per-group state-carried scalar, swept via set_lr_scale with
+            # NO recompile (``runtime_lr_scale=True`` + set_lr_scale)
+            tx = optax.chain(tx, _runtime_lr_scale())
+        return tx
+
     tx = optax.multi_transform(
-        {name: g.make(use_8bit) for name, g in groups.items()}, param_labels
+        {name: make(g) for name, g in groups.items()}, param_labels
     )
     chain = []
     if max_grad_norm is not None:

@@ -165,6 +165,74 @@ def test_executable_caches_reuse(setup):
     )
 
 
+def test_runtime_lr_scale_sweeps_without_retrace(setup):
+    """multi_group_optimizer(runtime_lr_scale=True): the LR scale is an
+    opt_state leaf, so an LR sweep reuses ONE compiled train step; scaling
+    by s must equal training at lr*s."""
+    from diffusion_finetuning_tpu.training.optim import set_lr_scale
+
+    step_fn, state = setup
+    opt = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None,
+        runtime_lr_scale=True,
+    )
+    # same spec -> same (cached) transform; the flag is part of the key
+    assert opt is multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None,
+        runtime_lr_scale=True,
+    )
+    assert opt is not multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None)
+
+    from diffusion_finetuning_tpu.models.schedulers import (
+        DDPMScheduler, SchedulerConfig,
+    )
+    from diffusion_finetuning_tpu.models.clip_text import (
+        CLIPTextConfig, CLIPTextModel,
+    )
+    from diffusion_finetuning_tpu.models.unet import (
+        UNet2DConditionModel, UNetConfig,
+    )
+    from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    models = dict(
+        unet=UNet2DConditionModel(UNetConfig.tiny()),
+        text_encoder=CLIPTextModel(CLIPTextConfig.tiny()),
+        vae=AutoencoderKL(VAEConfig.tiny()),
+        scheduler=DDPMScheduler(SchedulerConfig()),
+        partition=TrainablePartition(unet_lora=True),
+    )
+    sweep_step = build_train_step(optimizer=opt, **models)
+    jitted = jit_train_step(sweep_step)
+    batch = jax.tree_util.tree_map(jnp.asarray, _batches(1)[0])
+    rng = jax.random.PRNGKey(9)
+
+    def fresh(optimizer):
+        return {**state, "opt_state": optimizer.init(state["params"])}
+
+    # sweep point: scale 0.5 on lr=2e-3 through the SAME jitted step
+    st = fresh(opt)
+    st = {**st, "opt_state": set_lr_scale(st["opt_state"], "unet_lora", 0.5)}
+    swept, _ = jitted(st, batch, rng)
+
+    # oracle: a separate optimizer at lr=1e-3 (different executable)
+    opt_1e3 = multi_group_optimizer(
+        {"unet_lora": ParamGroup(lr=1e-3)}, max_grad_norm=None,
+        runtime_lr_scale=True,
+    )
+    oracle_step = build_train_step(optimizer=opt_1e3, **models)
+    oracle, _ = jit_train_step(oracle_step)(fresh(opt_1e3), batch, rng)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-7),
+        swept["params"], oracle["params"],
+    )
+
+    # unknown group -> loud error
+    with pytest.raises(ValueError, match="no runtime lr_scale"):
+        set_lr_scale(fresh(opt)["opt_state"], "nope", 2.0)
+
+
 def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
     """A group size that recurs (e.g. spd clipped at every save boundary)
     must get its own fused executable instead of degrading to per-step
