@@ -393,3 +393,39 @@ def test_run_inference_script(pipe_dir, tmp_path):
         assert os.path.exists(p)
         img = Image.open(p)
         assert img.size == (64, 64)
+
+
+# -- scripts/sweep_lr.py --------------------------------------------------
+
+
+def test_sweep_lr_script(pipe_dir, tmp_path):
+    """LR sweep through one compiled train step (runtime lr_scale): three
+    points, per-point trajectories + best LoRA on disk."""
+    import importlib.util
+    import json
+
+    from PIL import Image
+
+    d, pipe = pipe_dir
+    inst = tmp_path / "inst"
+    inst.mkdir()
+    Image.fromarray(np.full((16, 16, 3), 90, np.uint8)).save(inst / "a.png")
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "sweep_lr.py",
+    )
+    spec = importlib.util.spec_from_file_location("sweep_lr", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "out")
+    mod.run(d, str(inst), out, prompt="a photo of sks", base_lr=1e-3,
+            scales="0.5,2", steps=4, rank=1, resolution=16,
+            steps_per_dispatch=2, mixed_precision="no")
+    with open(os.path.join(out, "sweep.json")) as f:
+        sweep = json.load(f)
+    assert set(sweep) == {"0.5", "2.0"}
+    assert all(len(v["losses"]) == 4 for v in sweep.values())
+    flat = torch_pickle.load(os.path.join(out, "lora_best.pt"))
+    assert len(flat) == 2 * len(pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE))
