@@ -165,27 +165,49 @@ def test_executable_caches_reuse(setup):
     )
 
 
+def test_runtime_lr_scale_equals_scaled_lr():
+    """Optimizer-level oracle: a runtime scale s on base lr equals a fresh
+    optimizer at lr*s (AdamW couples decoupled wd with lr, so post-update
+    scaling IS lr scaling).  Pure optax — no model needed."""
+    from diffusion_finetuning_tpu.training.optim import set_lr_scale
+
+    params = {"g": {"w": jnp.arange(6.0).reshape(2, 3) / 7.0}}
+    grads = {"g": {"w": jnp.linspace(-1, 1, 6).reshape(2, 3)}}
+
+    swept = multi_group_optimizer(
+        {"g": ParamGroup(lr=2e-3)}, runtime_lr_scale=True)
+    st = set_lr_scale(swept.init(params), "g", 0.5)
+    upd_a, st = swept.update(grads, st, params)
+
+    oracle = multi_group_optimizer({"g": ParamGroup(lr=1e-3)})
+    upd_b, _ = oracle.update(grads, oracle.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd_a["g"]["w"]),
+                               np.asarray(upd_b["g"]["w"]), atol=1e-10)
+
+    # a second step still sees the swept scale (state round-trips)
+    upd_c, _ = swept.update(grads, st, params)
+    assert np.abs(np.asarray(upd_c["g"]["w"])).max() > 0
+
+    with pytest.raises(ValueError, match="no runtime lr_scale"):
+        set_lr_scale(oracle.init(params), "g", 2.0)
+
+
 def test_runtime_lr_scale_sweeps_without_retrace(setup):
-    """multi_group_optimizer(runtime_lr_scale=True): the LR scale is an
-    opt_state leaf, so an LR sweep reuses ONE compiled train step; scaling
-    by s must equal training at lr*s."""
+    """The LR scale is an opt_state leaf, so an LR sweep reuses ONE
+    compiled train step.  Config matches scripts/sweep_lr.py's tiny-model
+    smoke (test_cli_tools) on purpose: the executable is shared."""
+    from diffusion_finetuning_tpu.models.schedulers import DDPMScheduler
     from diffusion_finetuning_tpu.training.optim import set_lr_scale
 
     step_fn, state = setup
     opt = multi_group_optimizer(
-        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None,
-        runtime_lr_scale=True,
+        {"unet_lora": ParamGroup(lr=1e-3, total_steps=4)},
+        max_grad_norm=1.0, runtime_lr_scale=True,
     )
     # same spec -> same (cached) transform; the flag is part of the key
     assert opt is multi_group_optimizer(
-        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None,
-        runtime_lr_scale=True,
-    )
-    assert opt is not multi_group_optimizer(
-        {"unet_lora": ParamGroup(lr=2e-3)}, max_grad_norm=None)
-
-    from diffusion_finetuning_tpu.models.schedulers import (
-        DDPMScheduler, SchedulerConfig,
+        {"unet_lora": ParamGroup(lr=1e-3, total_steps=4)},
+        max_grad_norm=1.0, runtime_lr_scale=True,
     )
     from diffusion_finetuning_tpu.models.clip_text import (
         CLIPTextConfig, CLIPTextModel,
@@ -195,42 +217,27 @@ def test_runtime_lr_scale_sweeps_without_retrace(setup):
     )
     from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
 
-    models = dict(
+    sweep_step = build_train_step(
         unet=UNet2DConditionModel(UNetConfig.tiny()),
         text_encoder=CLIPTextModel(CLIPTextConfig.tiny()),
         vae=AutoencoderKL(VAEConfig.tiny()),
         scheduler=DDPMScheduler(SchedulerConfig()),
+        optimizer=opt,
         partition=TrainablePartition(unet_lora=True),
     )
-    sweep_step = build_train_step(optimizer=opt, **models)
     jitted = jit_train_step(sweep_step)
     batch = jax.tree_util.tree_map(jnp.asarray, _batches(1)[0])
     rng = jax.random.PRNGKey(9)
 
-    def fresh(optimizer):
-        return {**state, "opt_state": optimizer.init(state["params"])}
-
-    # sweep point: scale 0.5 on lr=2e-3 through the SAME jitted step
-    st = fresh(opt)
-    st = {**st, "opt_state": set_lr_scale(st["opt_state"], "unet_lora", 0.5)}
-    swept, _ = jitted(st, batch, rng)
-
-    # oracle: a separate optimizer at lr=1e-3 (different executable)
-    opt_1e3 = multi_group_optimizer(
-        {"unet_lora": ParamGroup(lr=1e-3)}, max_grad_norm=None,
-        runtime_lr_scale=True,
-    )
-    oracle_step = build_train_step(optimizer=opt_1e3, **models)
-    oracle, _ = jit_train_step(oracle_step)(fresh(opt_1e3), batch, rng)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-7),
-        swept["params"], oracle["params"],
-    )
-
-    # unknown group -> loud error
-    with pytest.raises(ValueError, match="no runtime lr_scale"):
-        set_lr_scale(fresh(opt)["opt_state"], "nope", 2.0)
+    moved = {}
+    for scale in (0.25, 4.0):
+        st = {**state, "opt_state": set_lr_scale(
+            opt.init(state["params"]), "unet_lora", scale)}
+        out, _ = jitted(st, batch, rng)   # one executable, both points
+        moved[scale] = max(
+            v for vals in lora_lib.inspect_lora(
+                out["params"]["unet_lora"]).values() for v in vals)
+    assert moved[4.0] > moved[0.25] > 0
 
 
 def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
