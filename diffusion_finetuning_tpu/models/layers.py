@@ -209,7 +209,8 @@ class LoRAConv(nn.Module):
             if CONV_PALLAS and jax.default_backend() == "tpu":
                 from ..ops import conv_pallas
 
-                if conv_pallas.supported(inp.shape, k.shape, strides):
+                if conv_pallas.supported(inp.shape, k.shape, strides,
+                                         padding=self.padding):
                     return conv_pallas.conv3x3(
                         inp, k.astype(dtype),
                         jnp.zeros((k.shape[-1],), dtype))

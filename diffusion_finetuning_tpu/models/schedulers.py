@@ -397,7 +397,14 @@ class EulerAncestralDiscreteScheduler(EulerDiscreteScheduler):
 
     def init_state(self, sample_shape, dtype=jnp.float32, rng=None):
         if rng is None:
-            rng = jnp.tile(jax.random.PRNGKey(0)[None], (sample_shape[0], 1))
+            # deterministic default, but decorrelated across the batch:
+            # tiling one key would give every sample IDENTICAL ancestral
+            # noise (correlated outputs) — a silent trap for direct callers.
+            # The pipeline always passes real per-seed keys.
+            rng = jax.vmap(
+                lambda i: jax.random.key_data(
+                    jax.random.fold_in(jax.random.PRNGKey(0), i))
+            )(jnp.arange(sample_shape[0]))
         return {"counter": jnp.asarray(0, jnp.int32), "rng": rng}
 
     def step(self, model_output, timestep, sample, state, num_inference_steps):

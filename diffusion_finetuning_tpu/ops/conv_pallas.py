@@ -159,8 +159,15 @@ def _bwd(interpret, res, g):
 conv3x3.defvjp(_fwd, _bwd)
 
 
-def supported(x_shape, kernel_shape, strides) -> bool:
-    """Routing predicate: shapes this kernel handles efficiently."""
+def supported(x_shape, kernel_shape, strides, padding: int = 1) -> bool:
+    """Routing predicate: shapes this kernel handles efficiently.
+
+    ``padding`` must be 1 (same-padding): :func:`conv3x3` hardcodes the
+    (1, 1) halo, so routing a valid-padding conv here would silently
+    produce same-padded (wrong-shape) output.
+    """
+    if padding != 1:
+        return False
     if len(x_shape) != 4 or len(kernel_shape) != 4:
         return False
     B, H, W, C = x_shape

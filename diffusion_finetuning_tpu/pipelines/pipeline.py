@@ -273,9 +273,17 @@ class StableDiffusionPipeline:
             if key not in cache:
                 cache[key] = builder()
             return cache[key]
-        if full not in _SHARED_EXEC_CACHE:
-            _SHARED_EXEC_CACHE[full] = builder()
-        return _SHARED_EXEC_CACHE[full]
+        hit = _SHARED_EXEC_CACHE.get(full)
+        if hit is None:
+            # bound the pinned-executable footprint (same policy as the
+            # train-step cache): a service sweeping many distinct
+            # (steps, size, batch, scheduler) combinations evicts oldest
+            # entries FIFO instead of pinning every executable for the
+            # process lifetime.  In-flight callers hold their own reference.
+            if len(_SHARED_EXEC_CACHE) >= 64:
+                _SHARED_EXEC_CACHE.pop(next(iter(_SHARED_EXEC_CACHE)))
+            hit = _SHARED_EXEC_CACHE[full] = builder()
+        return hit
 
     # -- multi-chip data parallelism ---------------------------------------
     def shard_over(self, mesh) -> "StableDiffusionPipeline":
@@ -892,10 +900,25 @@ def patch_pipe(
     """One-call patch of a pipeline from ``.pt`` sidecar files or a
     consolidated ``.safetensors`` (reference lora.py:672-732).
 
-    Hot-swap safe: new trees are built first, then installed atomically under
-    the pipeline's swap lock, so concurrent generations (GenerationServer)
-    see either the fully-old or the fully-new LoRA/TI state.
+    Hot-swap safe: the whole build+install runs under the pipeline's swap
+    lock (an RLock), so concurrent generations (GenerationServer) see either
+    the fully-old or the fully-new LoRA/TI state, and two concurrent
+    ``patch_pipe`` calls serialize — each bases its TI-embedding update on
+    the other's installed ``text_params`` instead of both reading the same
+    original and the last writer silently dropping the first one's tokens.
     """
+    with pipe._swap_lock:
+        return _patch_pipe_locked(
+            pipe, maybe_unet_path, token, r, patch_unet, patch_text,
+            patch_ti, idempotent_token, unet_target_replace_module,
+            text_target_replace_module,
+        )
+
+
+def _patch_pipe_locked(
+    pipe, maybe_unet_path, token, r, patch_unet, patch_text, patch_ti,
+    idempotent_token, unet_target_replace_module, text_target_replace_module,
+):
     updates: Dict[str, Any] = {}
     if maybe_unet_path.endswith(".pt"):
         if maybe_unet_path.endswith(".ti.pt"):

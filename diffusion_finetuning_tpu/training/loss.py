@@ -54,7 +54,13 @@ def loss_step(
     if "latent_moments" in batch:
         from ..models.vae import DiagonalGaussian
 
-        posterior = DiagonalGaussian(batch["latent_moments"])
+        # moments are cached in fp32 (lossless for bf16-encoded values);
+        # rebuild the posterior in the VAE's compute dtype so sampling
+        # draws the SAME noise realization as the direct encode path —
+        # that is the cache's "numerically identical trajectory" contract
+        vae_dtype = getattr(vae, "dtype", None) or jnp.float32
+        posterior = DiagonalGaussian(
+            batch["latent_moments"].astype(vae_dtype))
     else:
         px = batch["pixel_values"]
         posterior = vae.apply({"params": vae_params}, px, method=vae.encode)

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import weakref
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -132,8 +131,8 @@ def build_train_step(
     if key is not None and key in _STEP_CACHE:
         return _STEP_CACHE[key]
     # bound the pinned-executable footprint: a sweep over many distinct
-    # configs evicts oldest entries FIFO (their jit wrappers die with the
-    # closure via the WeakKey caches below)
+    # configs evicts oldest entries FIFO (their fused/jit wrappers live in
+    # the evicted function's own __dict__, so cyclic GC frees the lot)
     if key is not None and len(_STEP_CACHE) >= 64:
         _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
 
@@ -220,11 +219,31 @@ def build_train_step(
     return step
 
 
-# step_fn -> {k: fused closure}; keyed weakly so dropping a step function
-# releases its fused variants (unless pinned by _STEP_CACHE, intentionally)
-_MULTI_STEP_CACHE: "weakref.WeakKeyDictionary[Callable, Dict[int, Callable]]" = (
-    weakref.WeakKeyDictionary()
-)
+def _per_fn_cache(fn: Callable, attr: str) -> dict:
+    """Per-function memo dict stored ON the function object.
+
+    A module-level ``WeakKeyDictionary[fn] -> closure`` would leak: the
+    cached closure strongly references ``fn`` (it calls it), so the weakref
+    never dies and evicting ``fn`` from ``_STEP_CACHE`` frees nothing.
+    Attaching the cache to ``fn.__dict__`` instead makes the whole chain
+    (fn -> cache -> fused closure / jit wrapper -> fn) one reference cycle
+    that cyclic GC reclaims as soon as the step function is dropped.
+    Callables without a mutable ``__dict__`` fall back to a plain dict keyed
+    by id (bounded: only ever holds exotic non-function callables).
+    """
+    try:
+        cache = fn.__dict__.get(attr)
+        if cache is None:
+            cache = {}
+            setattr(fn, attr, cache)
+        return cache
+    except AttributeError:
+        per_obj = _EXOTIC_FN_CACHES.setdefault(id(fn), ({}, fn))
+        return per_obj[0].setdefault(attr, {})
+
+
+# id -> (caches, strong ref); only for callables without __dict__
+_EXOTIC_FN_CACHES: Dict[int, Any] = {}
 
 
 def multi_step(step_fn: Callable, k: int) -> Callable:
@@ -242,7 +261,7 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
     Memoized on ``(step_fn, k)``: repeat wrapping of the same step function
     returns the same closure, so downstream jit caches can hit.
     """
-    per_fn = _MULTI_STEP_CACHE.setdefault(step_fn, {})
+    per_fn = _per_fn_cache(step_fn, "_dft_multi_step_cache")
     if k in per_fn:
         return per_fn[k]
 
@@ -355,13 +374,6 @@ class FusedDispatcher:
         return state, jnp.stack(losses)
 
 
-# step_fn -> {(mesh, donate, batch_ndims): jitted fn}; only populated when
-# state_shardings is None (sharding pytrees are unhashable and rare)
-_JIT_CACHE: "weakref.WeakKeyDictionary[Callable, Dict[Any, Callable]]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
 def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
                    state_shardings=None, batch_ndims: int = 1):
     # donate=True invalidates the caller's `state` buffers — including the
@@ -382,7 +394,7 @@ def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
     """
     cache = None
     if state_shardings is None:
-        cache = _JIT_CACHE.setdefault(step_fn, {})
+        cache = _per_fn_cache(step_fn, "_dft_jit_cache")
         ckey = (mesh, donate, batch_ndims)
         if ckey in cache:
             return cache[ckey]

@@ -113,15 +113,22 @@ def run(
         loader = DataLoader(dataset, batch_size, pad_id, seed=seed)
         rng = jax.random.PRNGKey(seed)
 
+        # one epoch-looping stream per scale (the trainers' batch_stream
+        # pattern): restarting `for batch in loader` per dispatch group
+        # would spawn a fresh prefetch worker every ~spd steps and train on
+        # shuffled epoch PREFIXES instead of full epochs
+        def batch_stream():
+            while True:
+                for batch in loader:
+                    if latent_cache is not None:
+                        batch = latent_cache.transform(batch)
+                    yield batch
+
+        stream = batch_stream()
         losses, done = [], 0
         while done < steps:
-            group = []
-            for batch in loader:
-                if latent_cache is not None:
-                    batch = latent_cache.transform(batch)
-                group.append(batch)
-                if len(group) == min(steps_per_dispatch, steps - done):
-                    break
+            take = min(steps_per_dispatch, steps - done)
+            group = [batch for _, batch in zip(range(take), stream)]
             rng, key = jax.random.split(rng)
             state, ls = dispatcher.run(state, group, key)
             losses.extend(np.asarray(ls).tolist())

@@ -28,9 +28,31 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # tiny-model compiles across test files (model inits, train steps, denoise
 # loops) compile once and replay from disk — both within one run and across
 # runs.  Gitignored; delete tests/.jax_cache to force cold compiles.
+# The cache key must include the HOST CPU: XLA:CPU AOT executables embed
+# machine features (e.g. +prefer-no-scatter), and loading an executable
+# compiled on a different host SIGSEGVs/SIGILLs the process (observed: a
+# suite segfault in compilation_cache.get_executable_and_time after the CI
+# VM migrated hosts).  Suffix the cache dir with a fingerprint of the CPU
+# flags so a host change costs a cold cache, never a crash.
+def _cpu_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 f".jax_cache-{_cpu_fingerprint()}"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

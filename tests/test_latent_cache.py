@@ -127,3 +127,70 @@ def test_dreambooth_cache_latents_cli(tmp_path):
     # continuous augmentation is refused, not silently degraded
     with pytest.raises(ValueError, match="color_jitter"):
         run(str(tmp_path / "o_bad"), ["--cache_latents", "--color_jitter"])
+
+def test_cached_moments_match_encode_path_in_bf16():
+    """The identical-trajectory contract must hold for bf16 trainers too:
+    moments are cached fp32 (lossless for bf16-encoded values) and the
+    posterior is rebuilt in the VAE's compute dtype, so the per-step
+    ``sample(rng)`` draws the SAME noise realization either way."""
+    from diffusion_finetuning_tpu.models.schedulers import (
+        DDPMScheduler, SchedulerConfig,
+    )
+    from diffusion_finetuning_tpu.models.clip_text import (
+        CLIPTextConfig, CLIPTextModel,
+    )
+    from diffusion_finetuning_tpu.models.unet import (
+        UNet2DConditionModel, UNetConfig,
+    )
+    from diffusion_finetuning_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tests.jitutil import jit_init
+
+    ucfg, vcfg, tcfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
+    unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
+    text = CLIPTextModel(tcfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    up = jit_init(unet)(rng, jnp.zeros((1, 8, 8, 4), jnp.bfloat16),
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 77, ucfg.cross_attention_dim),
+                                  jnp.bfloat16))["params"]
+    vp = jit_init(vae)(rng, jnp.zeros((1, 16, 16, 3), jnp.bfloat16), rng)["params"]
+    tp = jit_init(text)(rng, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "pixel_values": rng_np.standard_normal((2, 16, 16, 3)).astype(np.float32),
+        "input_ids": np.full((2, 77), 2, np.int32),
+    }
+    cached_batch = LatentMomentCache(vae, vp).transform(batch)
+
+    # the posterior must be rebuilt in the VAE dtype so the per-step noise
+    # DRAW matches the direct path: jax.random.normal in fp32 vs bf16 is a
+    # different realization entirely, which is the bug this pins against.
+    from diffusion_finetuning_tpu.models.vae import DiagonalGaussian
+
+    key = jax.random.PRNGKey(3)
+    r_sample = jax.random.split(key, 3)[0]
+    direct = jax.jit(
+        lambda px: vae.apply({"params": vp}, px, method=vae.encode)
+        .sample(r_sample))(jnp.asarray(batch["pixel_values"], jnp.bfloat16))
+    cached = jax.jit(
+        lambda m: DiagonalGaussian(m.astype(jnp.bfloat16)).sample(r_sample))(
+        jnp.asarray(cached_batch["latent_moments"]))
+    assert cached.dtype == direct.dtype == jnp.bfloat16
+    # batch-2 vs batch-1 encode fusion reassociates bf16 sums, so the
+    # moments (and thus latents) can differ by a few bf16 ulps (eps~0.4%);
+    # a wrong-dtype noise draw differs O(1)
+    np.testing.assert_allclose(
+        np.asarray(direct, np.float32), np.asarray(cached, np.float32),
+        atol=0.05)
+
+    kw = dict(unet=unet, unet_params=up, text_encoder=text, text_params=tp,
+              vae=vae, vae_params=vp,
+              scheduler=DDPMScheduler(SchedulerConfig()))
+    l_px = jax.jit(lambda b: loss_step(key, b, **kw))(
+        jax.tree_util.tree_map(jnp.asarray, batch))
+    l_mo = jax.jit(lambda b: loss_step(key, b, **kw))(
+        jax.tree_util.tree_map(jnp.asarray, cached_batch))
+    # same noise realization; residual is bf16 reassociation through the UNet
+    np.testing.assert_allclose(float(l_px), float(l_mo), rtol=2e-2)

@@ -257,3 +257,30 @@ def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
     state, losses = d.run(state, batches, jax.random.PRNGKey(2))
     assert losses.shape == (2,)
     assert int(state["step"]) == 6
+
+
+def test_step_fn_eviction_releases_wrappers():
+    """Dropping a step function must free its fused/jit wrappers too.
+
+    The memo dicts live on the function object itself (``_per_fn_cache``);
+    a module-level WeakKeyDictionary would be immortal here because the
+    cached closures strongly reference their key (the step function).
+    """
+    import gc
+    import weakref
+
+    from diffusion_finetuning_tpu.training.train_step import (
+        jit_train_step, multi_step)
+
+    def step_fn(state, batch, rng):
+        return {**state, "x": state["x"] + batch.sum()}, {"loss": batch.sum()}
+
+    fused = multi_step(step_fn, 3)
+    jitted = jit_train_step(step_fn)
+    assert multi_step(step_fn, 3) is fused        # memo hit
+    assert jit_train_step(step_fn) is jitted      # memo hit
+
+    refs = [weakref.ref(step_fn), weakref.ref(fused), weakref.ref(jitted)]
+    del step_fn, fused, jitted
+    gc.collect()
+    assert all(r() is None for r in refs), "evicted step fn must free its wrappers"
