@@ -115,6 +115,59 @@ def shard_tree(tree: Any, shardings: Any) -> Any:
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
 
 
+# Megatron-style tensor-parallel placement: module name -> which kernel dim
+# to split over the tp axis.  "col" splits the OUTPUT features (each device
+# computes a slice of the projection), "row" splits the INPUT features (each
+# device contracts its slice; XLA all-reduces the partial sums at the next
+# use).  Pairing col->row per block keeps exactly one all-reduce per
+# attention / feed-forward sub-block — the scaling-book recipe, expressed as
+# param shardings with XLA inserting the collectives.
+_TP_COL = {"to_q", "to_k", "to_v",      # attention head projections (UNet)
+           "q_proj", "k_proj", "v_proj",  # CLIP attention
+           "proj",                        # GEGLU up-projection (net_0/proj)
+           "fc1",                         # CLIP MLP up
+           "proj_in"}                     # transformer-block entry
+_TP_ROW = {"to_out", "out_proj", "net_2", "fc2", "proj_out"}
+
+
+def tp_shardings(mesh: Mesh, tree: Any, axis: str = "tp") -> Any:
+    """Per-leaf NamedShardings for tensor ("model") parallelism.
+
+    Splits every attention/MLP projection kernel in the tree over the
+    ``axis`` mesh dimension using the column/row rules above; biases follow
+    their kernel's output split; everything else (convs, norms, embeddings,
+    time MLP) replicates.  Correctness never depends on the placement —
+    GSPMD repartitions as needed — so indivisible dims simply replicate.
+
+    The reference has no model-parallel story at all (one CUDA device per
+    process); this is the TPU-native answer for configs whose activations
+    or latency outgrow one chip: annotate the params, jit the same program,
+    and the compiler emits the per-sub-block all-reduce over ICI.
+    """
+    from jax.tree_util import DictKey, tree_flatten_with_path, tree_unflatten
+
+    n = mesh.shape[axis]
+    rep = NamedSharding(mesh, P())
+    leaves, treedef = tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in leaves:
+        names = [k.key for k in path if isinstance(k, DictKey)]
+        shape = jnp.shape(leaf)
+        sh = rep
+        if n > 1 and len(names) >= 2:
+            module, param = names[-2], names[-1]
+            if param == "kernel" and len(shape) == 2:
+                if module in _TP_COL and shape[1] % n == 0:
+                    sh = NamedSharding(mesh, P(None, axis))
+                elif module in _TP_ROW and shape[0] % n == 0:
+                    sh = NamedSharding(mesh, P(axis, None))
+            elif (param == "bias" and module in _TP_COL
+                  and len(shape) == 1 and shape[0] % n == 0):
+                sh = NamedSharding(mesh, P(axis))
+        out.append(sh)
+    return tree_unflatten(treedef, out)
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -285,16 +285,20 @@ class StableDiffusionPipeline:
             hit = _SHARED_EXEC_CACHE[full] = builder()
         return hit
 
-    # -- multi-chip data parallelism ---------------------------------------
+    # -- multi-chip parallelism ---------------------------------------------
     def shard_over(self, mesh) -> "StableDiffusionPipeline":
-        """Distribute generation over a device mesh (data-parallel serving).
+        """Distribute generation over a device mesh.
 
-        Params replicate to every device now (one transfer, not per call);
-        generation batches must be a multiple of the mesh's ``data`` axis
-        size and are sharded across it inside the jit.  The reference has no
-        multi-device inference story (cli_lora_pti.py:539 pins cuda:0;
-        Accelerate wraps training only) — this is the TPU-native scale-out:
-        mesh + sharding annotations, XLA emits the distribution.  Pass
+        A ``data`` mesh axis shards the batch (data-parallel serving); a
+        ``tp`` axis additionally splits every UNet attention/MLP projection
+        Megatron-style (:func:`parallel.mesh.tp_shardings`) so one image's
+        denoise runs across ``tp`` chips — the latency lever once a single
+        chip is the bottleneck.  Params transfer once now, not per call;
+        generation batches must be a multiple of the ``data`` axis size.
+        The reference has no multi-device inference story
+        (cli_lora_pti.py:539 pins cuda:0; Accelerate wraps training only) —
+        this is the TPU-native scale-out: mesh + sharding annotations, XLA
+        emits the distribution and the per-sub-block all-reduces.  Pass
         ``mesh=None`` to return to single-device dispatch.  Returns self.
         """
         from ..parallel import mesh as mesh_lib
@@ -302,8 +306,31 @@ class StableDiffusionPipeline:
         self.mesh = mesh
         self.__dict__.pop("_fn_cache", None)  # executables carry shardings
         self._merged_cache.clear()
+        if mesh is None and getattr(self, "_unet_shardings", None) is not None:
+            # leaving tensor-parallel mode: gather the column/row shards back
+            # onto ONE device — and move the replicated trees with them, so
+            # plain jit never sees a mixed device set (replicated DP params
+            # alone can stay put; split params would keep multi-device jits)
+            dev = jax.devices()[0]
+
+            def gather(tree):
+                return (None if tree is None else
+                        jax.device_put(jax.device_get(tree), dev))
+
+            self.unet_params = gather(self.unet_params)
+            self.vae_params = gather(self.vae_params)
+            self.text_params = gather(self.text_params)
+            self.unet_lora = gather(self.unet_lora)
+            self.text_encoder_lora = gather(self.text_encoder_lora)
+        self._unet_shardings = None
         if mesh is not None:
-            self.unet_params = mesh_lib.replicate(self.unet_params, mesh)
+            if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+                self._unet_shardings = mesh_lib.tp_shardings(
+                    mesh, self.unet_params)
+                self.unet_params = mesh_lib.shard_tree(
+                    self.unet_params, self._unet_shardings)
+            else:
+                self.unet_params = mesh_lib.replicate(self.unet_params, mesh)
             self.vae_params = mesh_lib.replicate(self.vae_params, mesh)
             self.text_params = mesh_lib.replicate(self.text_params, mesh)
             if self.unet_lora is not None:
@@ -323,7 +350,12 @@ class StableDiffusionPipeline:
         rep = NamedSharding(self.mesh, P())
         dat = NamedSharding(self.mesh, P("data"))
         lat_sh = rep if latents_mode == "key" else dat
-        in_sh = (rep, rep, rep, rep, rep, lat_sh, dat, rep)
+        # tensor-parallel mode: the UNet params keep their per-leaf
+        # column/row shardings (a pytree of NamedShardings matching the
+        # params tree); pinning them replicated here would silently
+        # all-gather the model back onto every chip
+        unet_sh = getattr(self, "_unet_shardings", None) or rep
+        in_sh = (unet_sh, rep, rep, rep, rep, lat_sh, dat, rep)
         return jax.jit(run, in_shardings=in_sh, out_shardings=dat)
 
     # -- LoRA materialization ----------------------------------------------
@@ -354,12 +386,18 @@ class StableDiffusionPipeline:
         )
         merged = fn(params, lora)
         if self.mesh is not None:
-            # pin the merged tree replicated on the mesh NOW — a LoRA patched
-            # after shard_over is host-resident, and without this every
-            # generation call would re-transfer the merged params
+            # pin the merged tree on the mesh NOW — a LoRA patched after
+            # shard_over is host-resident, and without this every generation
+            # call would re-transfer the merged params.  Under tensor
+            # parallelism the merged UNet keeps the column/row placement
+            # (same tree structure: materialization folds deltas in place).
             from ..parallel import mesh as mesh_lib
 
-            merged = mesh_lib.replicate(merged, self.mesh)
+            unet_sh = getattr(self, "_unet_shardings", None)
+            if which == "unet" and unet_sh is not None:
+                merged = mesh_lib.shard_tree(merged, unet_sh)
+            else:
+                merged = mesh_lib.replicate(merged, self.mesh)
         self._merged_cache[which] = (params, lora, merged)
         return merged
 

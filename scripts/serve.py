@@ -31,17 +31,33 @@ from diffusion_finetuning_tpu.utils.cli import Fire
 
 def serve(model_dir: str, lora: str = None, port: int = 8000,
           max_batch: int = 4, host: str = "127.0.0.1",
-          data_parallel: bool = False):
+          data_parallel: bool = False, tensor_parallel: int = 1):
     pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)
     if lora:
         patch_pipe(pipe, lora, patch_unet=True, patch_text=True, patch_ti=True)
-    if data_parallel:
+    if data_parallel or tensor_parallel > 1:
         import jax
+        import numpy as np
+        from jax.sharding import Mesh
 
         from diffusion_finetuning_tpu.parallel.mesh import make_mesh
 
         n = len(jax.devices())
-        if n > 1:
+        if tensor_parallel > 1:
+            # (data, tp) mesh: each image's UNet denoise splits over tp
+            # chips (Megatron column/row projections via tp_shardings),
+            # concurrent requests still batch over the data axis
+            assert n % tensor_parallel == 0, (
+                f"{n} devices not divisible by tensor_parallel={tensor_parallel}")
+            mesh = Mesh(
+                np.array(jax.devices()).reshape(
+                    n // tensor_parallel, tensor_parallel),
+                ("data", "tp"),
+            )
+            pipe.shard_over(mesh)
+            print(f"serving over {n} devices: data={n // tensor_parallel} "
+                  f"x tp={tensor_parallel}")
+        elif n > 1:
             pipe.shard_over(make_mesh(n))
             print(f"serving data-parallel over {n} devices")
     server = GenerationServer(pipe, max_batch=max_batch)

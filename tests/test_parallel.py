@@ -136,3 +136,43 @@ class TestMultiHostBranches:
         assert mesh_lib.is_main_process()
         monkeypatch.setattr(jax, "process_index", lambda: 3)
         assert not mesh_lib.is_main_process()
+
+
+def test_tp_shardings_megatron_placement():
+    """Column/row placement: attention q/k/v and MLP up-projections split
+    output features, out/down-projections split input features, everything
+    else (convs, norms, biases of row-parallel layers) replicates."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "tp"))
+    tree = {
+        "blk": {
+            "attn1": {
+                "to_q": {"kernel": jnp.zeros((16, 16))},
+                "to_out": {"kernel": jnp.zeros((16, 16)),
+                           "bias": jnp.zeros((16,))},
+            },
+            "ff": {
+                "net_0": {"proj": {"kernel": jnp.zeros((16, 64)),
+                                   "bias": jnp.zeros((64,))}},
+                "net_2": {"kernel": jnp.zeros((32, 16)),
+                          "bias": jnp.zeros((16,))},
+            },
+            "norm1": {"scale": jnp.zeros((16,))},
+            "conv1": {"kernel": jnp.zeros((3, 3, 16, 16))},
+            "odd": {"to_q": {"kernel": jnp.zeros((16, 15))}},  # indivisible
+        }
+    }
+    sh = mesh_lib.tp_shardings(mesh, tree)
+    b = sh["blk"]
+    assert b["attn1"]["to_q"]["kernel"].spec == P(None, "tp")
+    assert b["attn1"]["to_out"]["kernel"].spec == P("tp", None)
+    assert b["attn1"]["to_out"]["bias"].spec == P()      # row-parallel bias
+    assert b["ff"]["net_0"]["proj"]["kernel"].spec == P(None, "tp")
+    assert b["ff"]["net_0"]["proj"]["bias"].spec == P("tp")
+    assert b["ff"]["net_2"]["kernel"].spec == P("tp", None)
+    assert b["norm1"]["scale"].spec == P()
+    assert b["conv1"]["kernel"].spec == P()              # convs replicate
+    assert b["odd"]["to_q"]["kernel"].spec == P()        # indivisible -> rep

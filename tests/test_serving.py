@@ -192,3 +192,35 @@ def test_hot_swap_is_atomic(tmp_path):
     finally:
         stop.set()
         t.join(timeout=10)
+
+
+def test_server_over_tensor_parallel_mesh(pipe):
+    """Serving on a (data, tp) mesh: the ladder rounds to the data axis only
+    and generation matches the single-device images (tp splits the UNet
+    projections, not the batch)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+    ref_server = GenerationServer(pipe, max_batch=2, max_wait_ms=50,
+                                  allowed_batches=[2])
+    futs = [ref_server.submit(p, seed=i, **kw) for i, p in enumerate("ab")]
+    ref = [np.asarray(f.result(timeout=300)) for f in futs]
+    ref_server.close()
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "tp"))
+    pipe.shard_over(mesh)
+    try:
+        server = GenerationServer(pipe, max_batch=2, max_wait_ms=50,
+                                  allowed_batches=[2])
+        assert server.allowed_batches == [2]  # rounds to data axis (2), not 4
+        futs = [server.submit(p, seed=i, **kw) for i, p in enumerate("ab")]
+        imgs = [np.asarray(f.result(timeout=300)) for f in futs]
+        server.close()
+    finally:
+        pipe.shard_over(None)
+    for a, b in zip(imgs, ref):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1  # uint8 ties
