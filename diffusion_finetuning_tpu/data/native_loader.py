@@ -32,21 +32,56 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _cpu_fingerprint() -> str:
+    """Boot-time CPU feature fingerprint (matches tests/conftest.py)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _tried:
             return _lib
         _tried = True
+        # DFT_NATIVE_LOADER=0 disables the native path entirely (callers
+        # fall back to PIL) — an operational kill-switch and a bisecting
+        # lever when hunting in-process native corruption.
+        if os.environ.get("DFT_NATIVE_LOADER", "1") == "0":
+            return None
         path = os.path.join(_NATIVE_DIR, _LIB_NAME)
         # run make unconditionally: it is timestamp-based and near-free when
         # up to date, and an existing-but-stale .so (built before a
-        # dataloader.cpp change) must not be silently used
+        # dataloader.cpp change) must not be silently used.  The .so is
+        # built -march=native, so it must also be rebuilt (-B) when the HOST
+        # changes: executing an .so from a prior host's CPU can SIGILL after
+        # a CI VM migration (same hazard class as the XLA AOT cache — see
+        # tests/conftest.py).
+        stamp = os.path.join(_NATIVE_DIR, ".host_fingerprint")
+        fp = _cpu_fingerprint()
+        try:
+            with open(stamp) as f:
+                force = f.read().strip() != fp
+        except OSError:
+            force = True
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR],
+                ["make", "-C", _NATIVE_DIR] + (["-B"] if force else []),
                 check=True, capture_output=True, timeout=120,
             )
+            if force:
+                with open(stamp, "w") as f:
+                    f.write(fp)
         except Exception:
             if not os.path.exists(path):
                 return None

@@ -49,12 +49,51 @@ def _cpu_fingerprint():
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
 
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 f".jax_cache-{_cpu_fingerprint()}"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# ...but the fingerprint cannot see LIVE migrations (XLA detects CPU
+# features via runtime cpuid; /proc/cpuinfo is boot-time), and on a migrated
+# host the native XLA:CPU AOT (de)serialization segfaulted the suite
+# (observed twice loading, once serializing a big executable).  A segfault
+# cannot be caught in-process, so before trusting the cache a throwaway
+# CHILD process loads a small always-present probe entry from it: the child
+# detects CPU features via cpuid at its own startup, so a post-migration
+# mismatch kills the child — and the cache is purged — instead of killing
+# the suite 20 minutes in.  DFT_TEST_COMPILE_CACHE: unset = probe+use,
+# 1 = use without probing, 0 = disable the disk cache entirely.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          f".jax_cache-{_cpu_fingerprint()}")
+
+
+def _cache_probe_ok() -> bool:
+    """True if a child process survives loading/storing a cache entry."""
+    import shutil
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.config.update('jax_platforms','cpu');"
+        f"jax.config.update('jax_compilation_cache_dir', {_CACHE_DIR!r});"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0);"
+        "print(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128))))"
+    )
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=300,
+                              env=dict(os.environ))
+    except subprocess.TimeoutExpired:
+        return True  # slow box, not a poisoned cache
+    if proc.returncode < 0:  # killed by a signal: stale-host executables
+        sys.stderr.write(
+            f"conftest: cache probe died with signal {-proc.returncode}; "
+            f"purging {_CACHE_DIR} (cold run)\n")
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+        return True  # now-empty dir is safe to use
+    return proc.returncode == 0
+
+
+_cache_mode = os.environ.get("DFT_TEST_COMPILE_CACHE", "probe")
+if _cache_mode != "0" and (_cache_mode == "1" or _cache_probe_ok()):
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def pytest_report_header(config):
