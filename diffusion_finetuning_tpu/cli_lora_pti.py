@@ -189,6 +189,7 @@ def train(
     weight_decay_lora: float = 0.001,
     use_8bit_adam: bool = False,
     steps_per_dispatch: int = 1,
+    tensor_parallel: int = 1,
     device: str = "tpu",
     extra_args: Optional[dict] = None,
     log_wandb: bool = False,
@@ -293,11 +294,10 @@ def train(
     )
 
     # DP mesh over as many devices as the per-step batch divides (prior
-    # preservation doubles the batch at collate time)
-    devices = jax.devices()
+    # preservation doubles the batch at collate time); tensor_parallel>1
+    # additionally splits the frozen UNet/CLIP projections over a tp axis
     eff_batch = train_batch_size * (2 if with_prior_preservation else 1)
-    n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
-    mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
+    mesh = mesh_lib.trainer_mesh(eff_batch, tensor_parallel)
     rng = jax.random.PRNGKey(seed)
 
     preped_clip = None
@@ -349,9 +349,15 @@ def train(
         spd = max(1, steps_per_dispatch)
         if save_steps:
             spd = min(spd, save_steps)
-        dispatcher = FusedDispatcher(step_fn, spd=spd, mesh=mesh)
+        state_shardings = None
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            state_shardings = mesh_lib.tp_state_shardings(mesh, state)
+        dispatcher = FusedDispatcher(step_fn, spd=spd, mesh=mesh,
+                                     state_shardings=state_shardings)
         if mesh is not None:
-            state = mesh_lib.replicate(state, mesh)
+            state = (mesh_lib.replicate(state, mesh)
+                     if state_shardings is None
+                     else mesh_lib.shard_tree(state, state_shardings))
 
         def batch_stream():
             while True:

@@ -168,6 +168,54 @@ def tp_shardings(mesh: Mesh, tree: Any, axis: str = "tp") -> Any:
     return tree_unflatten(treedef, out)
 
 
+def trainer_mesh(eff_batch: int, tensor_parallel: int = 1) -> Optional[Mesh]:
+    """Mesh for a trainer run, or ``None`` for single-device.
+
+    The ``data`` axis takes the largest device count dividing the effective
+    per-step batch (so every shard sees whole examples); ``tensor_parallel``
+    devices are additionally grouped under a ``tp`` axis that
+    :func:`tp_state_shardings` uses to split the frozen UNet/CLIP
+    projections Megatron-style inside the train step.  ``tp=1`` keeps the
+    historical 1-D ``("data",)`` mesh so existing compiled programs are
+    unchanged.
+    """
+    devices = jax.devices()
+    tp = max(1, tensor_parallel)
+    if len(devices) % tp or len(devices) < tp:
+        raise ValueError(
+            f"tensor_parallel={tp} does not divide device count {len(devices)}"
+        )
+    avail = len(devices) // tp
+    data = max(d for d in range(1, avail + 1) if eff_batch % d == 0)
+    if data * tp == 1:
+        return None
+    if tp == 1:
+        return make_mesh(num_devices=data)
+    return make_mesh(
+        num_devices=data * tp, axes=("data", "tp"), shape=(data, tp)
+    )
+
+
+def tp_state_shardings(mesh: Mesh, state: Any, axis: str = "tp") -> Any:
+    """Train-state sharding pytree for tensor-parallel training.
+
+    The frozen UNet/CLIP params (all the FLOPs in the train step) split
+    over the ``tp`` axis via :func:`tp_shardings`; the trainable LoRA/TI
+    leaves, optimizer state, and everything else replicate — they are
+    rank-r-tiny, and GSPMD inserts the reshards/grad-reductions where the
+    replicated adapters meet the split activations.  Pass the result as
+    ``state_shardings`` to ``jit_train_step`` / ``FusedDispatcher``.
+    """
+    rep = NamedSharding(mesh, P())
+    sh = jax.tree_util.tree_map(lambda _: rep, state)
+    static = dict(sh["static"])
+    for key in ("unet_params", "text_params"):
+        if key in state["static"]:
+            static[key] = tp_shardings(mesh, state["static"][key], axis=axis)
+    sh["static"] = static
+    return sh
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

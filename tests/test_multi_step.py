@@ -284,3 +284,60 @@ def test_step_fn_eviction_releases_wrappers():
     del step_fn, fused, jitted
     gc.collect()
     assert all(r() is None for r in refs), "evicted step fn must free its wrappers"
+
+
+def test_tensor_parallel_train_step_matches_single_device(setup):
+    """TP training (frozen projections split over a ``tp`` axis) must
+    reproduce the single-device trajectory up to reduction-order noise.
+
+    The reference has no model-parallel training at all; this is the
+    TPU-native path for configs whose activations outgrow one chip
+    (parallel.mesh.tp_state_shardings), driven by the trainers'
+    ``--tensor_parallel`` flag.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    step_fn, state = setup
+    k = 2
+    batches = [
+        jax.tree_util.tree_map(lambda x: np.concatenate([x, x]), b)
+        for b in _batches(k)
+    ]  # batch 2 -> shards over the 2-wide data axis
+    rng = jax.random.PRNGKey(11)
+    keys = jax.random.split(rng, k)
+
+    ref_state = state
+    jitted = jit_train_step(step_fn)
+    ref_losses = []
+    for b, key in zip(batches, keys):
+        ref_state, m = jitted(
+            ref_state, jax.tree_util.tree_map(jnp.asarray, b), key)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "tp"))
+    sh = mesh_lib.tp_state_shardings(mesh, state)
+    n_split = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            sh["static"], is_leaf=lambda x: isinstance(x, NamedSharding))
+        if s.spec != P()
+    )
+    assert n_split > 0, "tp_state_shardings split nothing — vacuous test"
+
+    tp_step = jit_train_step(step_fn, mesh=mesh, state_shardings=sh)
+    st = mesh_lib.shard_tree(state, sh)
+    tp_losses = []
+    for b, key in zip(batches, keys):
+        st, m = tp_step(st, mesh_lib.shard_batch(b, mesh), key)
+        tp_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(tp_losses, ref_losses, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        st["params"], ref_state["params"],
+    )
+    assert int(st["step"]) == k

@@ -176,3 +176,38 @@ def test_tp_shardings_megatron_placement():
     assert b["norm1"]["scale"].spec == P()
     assert b["conv1"]["kernel"].spec == P()              # convs replicate
     assert b["odd"]["to_q"]["kernel"].spec == P()        # indivisible -> rep
+
+
+class TestTrainerMesh:
+    """trainer_mesh: data axis from batch divisibility, optional tp axis."""
+
+    def test_pure_dp_keeps_1d_mesh(self):
+        mesh = mesh_lib.trainer_mesh(8, tensor_parallel=1)
+        assert mesh is not None
+        assert mesh.axis_names == ("data",)
+        assert mesh.shape["data"] == min(8, len(jax.devices()))
+
+    def test_tp_axis_reduces_data_axis(self):
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        mesh = mesh_lib.trainer_mesh(4, tensor_parallel=2)
+        assert mesh.axis_names == ("data", "tp")
+        assert mesh.shape["tp"] == 2
+        assert mesh.shape["data"] == min(4, len(jax.devices()) // 2)
+
+    def test_odd_batch_limits_data_axis(self):
+        mesh = mesh_lib.trainer_mesh(3, tensor_parallel=1)
+        # largest divisor of 3 that fits the device count
+        if len(jax.devices()) >= 3:
+            assert mesh.shape["data"] == 3
+        else:
+            assert mesh is None or mesh.shape["data"] == 1
+
+    def test_indivisible_tp_raises(self):
+        with pytest.raises(ValueError):
+            mesh_lib.trainer_mesh(8, tensor_parallel=len(jax.devices()) + 1)
+
+    def test_single_device_returns_none(self, monkeypatch):
+        dev = jax.devices()[0]
+        monkeypatch.setattr(jax, "devices", lambda: [dev])
+        assert mesh_lib.trainer_mesh(1, tensor_parallel=1) is None

@@ -88,6 +88,9 @@ def parse_args(input_args=None):
     # from per-step dispatch, so changing this value changes the sampled
     # noise/timesteps (like changing the seed does).
     a("--steps_per_dispatch", type=int, default=1)
+    a("--tensor_parallel", type=int, default=1,
+      help="split the frozen UNet/CLIP projections over a tp mesh axis of "
+           "this size (Megatron-style) inside the jitted train step")
     a("--gradient_checkpointing", action="store_true")
     a("--lora_rank", type=int, default=4)
     a("--learning_rate", type=float, default=5e-6)
@@ -292,12 +295,9 @@ def main(args):
         prior_loss_weight=args.prior_loss_weight,
     )
 
-    devices = jax.devices()
     eff_batch = args.train_batch_size * (2 if args.with_prior_preservation else 1)
-    n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
-    mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
+    mesh = mesh_lib.trainer_mesh(eff_batch, args.tensor_parallel)
     spd = max(1, args.steps_per_dispatch)
-    dispatcher = FusedDispatcher(step_fn, spd=spd, mesh=mesh)
 
     params = {"unet_lora": unet_lora}
     if args.train_text_encoder:
@@ -327,8 +327,14 @@ def main(args):
             print(f"Resuming full train state from {ckpt}")
             state = restore_train_state(ckpt, state)
 
+    state_shardings = None
+    if mesh is not None and mesh.shape.get("tp", 1) > 1:
+        state_shardings = mesh_lib.tp_state_shardings(mesh, state)
+    dispatcher = FusedDispatcher(
+        step_fn, spd=spd, mesh=mesh, state_shardings=state_shardings)
     if mesh is not None:
-        state = mesh_lib.replicate(state, mesh)
+        state = (mesh_lib.replicate(state, mesh) if state_shardings is None
+                 else mesh_lib.shard_tree(state, state_shardings))
 
     total_batch = (args.train_batch_size * jax.process_count()
                    * args.gradient_accumulation_steps)

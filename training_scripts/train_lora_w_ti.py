@@ -92,6 +92,9 @@ def parse_args(input_args=None):
     # fuse this many train steps into ONE device dispatch (see
     # training.train_step.multi_step); amortizes per-dispatch host latency
     a("--steps_per_dispatch", type=int, default=1)
+    a("--tensor_parallel", type=int, default=1,
+      help="split the frozen UNet/CLIP projections over a tp mesh axis of "
+           "this size (Megatron-style) inside the jitted train step")
     a("--gradient_checkpointing", action="store_true")
     a("--lora_rank", type=int, default=4)
     a("--learning_rate", type=float, default=5e-6)
@@ -271,12 +274,8 @@ def main(args, dataset_cls=None):
 
     vocab_rows = emb.shape[0]
     index_updates = jnp.zeros((vocab_rows,), bool).at[placeholder_token_id].set(True)
-    devices = jax.devices()
     eff_batch = args.train_batch_size * (2 if args.with_prior_preservation else 1)
-    n_mesh = max(d for d in range(1, len(devices) + 1) if eff_batch % d == 0)
-    mesh = mesh_lib.make_mesh(num_devices=n_mesh) if n_mesh > 1 else None
-    dispatcher = FusedDispatcher(
-        step_fn, spd=max(1, args.steps_per_dispatch), mesh=mesh)
+    mesh = mesh_lib.trainer_mesh(eff_batch, args.tensor_parallel)
 
     state = {
         "params": params,
@@ -290,8 +289,15 @@ def main(args, dataset_cls=None):
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    state_shardings = None
+    if mesh is not None and mesh.shape.get("tp", 1) > 1:
+        state_shardings = mesh_lib.tp_state_shardings(mesh, state)
+    dispatcher = FusedDispatcher(
+        step_fn, spd=max(1, args.steps_per_dispatch), mesh=mesh,
+        state_shardings=state_shardings)
     if mesh is not None:
-        state = mesh_lib.replicate(state, mesh)
+        state = (mesh_lib.replicate(state, mesh) if state_shardings is None
+                 else mesh_lib.shard_tree(state, state_shardings))
 
     print("***** Running training *****")
     print(f"  Num examples = {len(train_dataset)}")
