@@ -30,6 +30,10 @@ CACHE_LATENTS = __import__("os").environ.get("DFT_BENCH_CACHE_LATENTS") == "1"
 # A/B knob: 1 = donate the state buffers to the dispatch (XLA aliases the
 # pass-through frozen params instead of copying them at dispatch entry/exit)
 DONATE = __import__("os").environ.get("DFT_BENCH_DONATE") == "1"
+# A/B knob: f32 restores the old fp32 pixel wire format (the DataLoader
+# default is uint8 + on-device normalize — 4x less tunnel traffic, a
+# rounding-level-equivalent trajectory; see data.dataset.requantize_uint8)
+PIX_U8 = __import__("os").environ.get("DFT_BENCH_PIXFMT", "uint8") != "f32"
 
 
 def main():
@@ -85,7 +89,8 @@ def main():
     k = STEPS_PER_DISPATCH
     jitted = jit_train_step(multi_step(step_fn, k), donate=DONATE)
     batch = {
-        "pixel_values": np.zeros((1, 512, 512, 3), np.float32),
+        "pixel_values": np.zeros((1, 512, 512, 3),
+                                 np.uint8 if PIX_U8 else np.float32),
         "input_ids": np.zeros((1, 77), np.int32),
     }
     if CACHE_LATENTS:

@@ -35,6 +35,7 @@ import hashlib
 from typing import Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -54,6 +55,10 @@ class LatentMomentCache:
         key = (vae, getattr(vae, "dtype", None))
         if key not in _ENCODE_EXEC_CACHE:
             def encode(params, px):
+                if px.dtype == jnp.uint8:
+                    # uint8 wire format: same on-device normalization as
+                    # loss_step, so cached moments match the direct path
+                    px = px.astype(jnp.float32) / 255.0 * 2.0 - 1.0
                 return vae.apply({"params": params}, px, method=vae.encode)
 
             _ENCODE_EXEC_CACHE[key] = jax.jit(encode)

@@ -63,6 +63,13 @@ def loss_step(
             batch["latent_moments"].astype(vae_dtype))
     else:
         px = batch["pixel_values"]
+        if px.dtype == jnp.uint8:
+            # uint8 wire format (data.dataset.requantize_uint8): normalize
+            # on device (v/255*2-1 in fp32, as to_normalized_array).  XLA
+            # reassociates the affine into a fused multiply-add, so pixels
+            # land within 1 ulp of the host fp32 path — rounding-level
+            # equivalent trajectory at 1/4 the host->device transfer.
+            px = px.astype(jnp.float32) / 255.0 * 2.0 - 1.0
         posterior = vae.apply({"params": vae_params}, px, method=vae.encode)
     latents = posterior.sample(r_sample) * SCALING_FACTOR
     latents = jax.lax.stop_gradient(latents.astype(jnp.float32))
@@ -93,6 +100,10 @@ def loss_step(
 
     mask = batch.get("mask")
     if mask is not None:
+        if mask.dtype == jnp.uint8:
+            # uint8 wire format (collate_batch): undo face_mask's /255 on
+            # device — same rounding-level equivalence as pixel_values
+            mask = mask.astype(jnp.float32) / 255.0
         # (B,H,W,1) -> nearest to latent grid, +0.05, /mean
         lh, lw = model_pred.shape[1], model_pred.shape[2]
         mask = jax.image.resize(

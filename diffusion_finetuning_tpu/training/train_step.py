@@ -246,6 +246,31 @@ def _per_fn_cache(fn: Callable, attr: str) -> dict:
 _EXOTIC_FN_CACHES: Dict[int, Any] = {}
 
 
+def _check_static_untouched(new_static, static):
+    """Trace-time guard: the ``static`` subtree is contractually invariant.
+
+    Both the scan-carry hoist (:func:`multi_step`) and the jit boundary
+    split (:func:`jit_train_step`) return the CALLER's static leaves and
+    discard whatever the step function produced for them — sound only if
+    the step passed them through.  ``build_train_step`` steps always do;
+    a custom step that rebuilds a static leaf would otherwise lose its
+    update silently, so fail loudly at trace time (leaf identity: a
+    pass-through leaf is the very same tracer object).
+    """
+    try:
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: a is b, new_static, static))
+    except ValueError:  # structure changed — definitely modified
+        same = False
+    if not same:
+        raise ValueError(
+            "step_fn modified state['static']; the fused/jit train-step "
+            "wrappers treat static (frozen model params) as loop-invariant "
+            "and would drop the modification. Move mutable values into "
+            "state['params'] or another top-level key."
+        )
+
+
 def multi_step(step_fn: Callable, k: int) -> Callable:
     """Fuse ``k`` train steps into ONE dispatch via ``lax.scan``.
 
@@ -258,6 +283,13 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
     ``(k,)``; the rng is split per step, so results are identical to ``k``
     sequential ``step_fn`` calls with those keys.
 
+    ``state["static"]`` (the frozen UNet/CLIP/VAE params, ~1.1k leaves at
+    SD1.5 size) is hoisted OUT of the scan carry and closure-captured as a
+    loop invariant: carried-through frozen buffers otherwise get copied by
+    XLA every iteration (measured 3.4 ms/step of pure ``copy`` ops on v5e —
+    8% of the device step).  The step function must not modify it
+    (trace-time checked).
+
     Memoized on ``(step_fn, k)``: repeat wrapping of the same step function
     returns the same closure, so downstream jit caches can hit.
     """
@@ -267,12 +299,24 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
+        static = state.get("static") if isinstance(state, dict) else None
+        if static is None:
+            def body(st, xs):
+                b, key = xs
+                return step_fn(st, b, key)
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        carry0 = {kk: v for kk, v in state.items() if kk != "static"}
 
         def body(st, xs):
             b, key = xs
-            return step_fn(st, b, key)
+            new, metrics = step_fn(dict(st, static=static), b, key)
+            _check_static_untouched(new.get("static"), static)
+            return {kk: v for kk, v in new.items() if kk != "static"}, metrics
 
-        return jax.lax.scan(body, state, (batches, keys))
+        carry, ms = jax.lax.scan(body, carry0, (batches, keys))
+        return dict(carry, static=static), ms
 
     per_fn[k] = fused
     return fused
@@ -376,10 +420,21 @@ class FusedDispatcher:
 
 def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
                    state_shardings=None, batch_ndims: int = 1):
-    # donate=True invalidates the caller's `state` buffers — including the
-    # frozen model params carried in state["static"], which pipelines may
-    # still reference.  LoRA/TI state is tiny, so donation is off by default.
+    # donate=True invalidates the caller's trainable-state buffers (params/
+    # opt_state); the frozen model params in state["static"] are never
+    # donated — they cross the jit boundary as a separate argument and are
+    # never returned (see below), so pipelines sharing them stay valid.
     """jit with replicated-state / data-sharded-batch shardings.
+
+    ``state["static"]`` (frozen UNet/CLIP/VAE params) is split off OUTSIDE
+    the jit and passed as its own argument that the compiled function does
+    NOT return: an un-donated pass-through output would cost a device-side
+    copy of every frozen buffer per dispatch (measured 16 ms per 10-step
+    dispatch on v5e) plus host pytree churn on ~1.1k leaves.  The wrapper
+    re-attaches the caller's own static dict to the returned state, so the
+    public contract ``(state, batch, rng) -> (state, metrics)`` is
+    unchanged.  Step functions must treat static as read-only (trace-time
+    checked); states without a ``"static"`` key take the plain path.
 
     ``state_shardings`` overrides the state's sharding pytree — pass
     ``{"static": mesh_lib.fsdp_shardings(mesh, static), ...}`` to keep the
@@ -398,21 +453,47 @@ def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
         ckey = (mesh, donate, batch_ndims)
         if ckey in cache:
             return cache[ckey]
+
+    def inner(inner_state, static, batch, rng):
+        state = dict(inner_state, static=static) if static is not None \
+            else inner_state
+        new, metrics = step_fn(state, batch, rng)
+        if static is not None:
+            _check_static_untouched(new.get("static"), static)
+            new = {kk: v for kk, v in new.items() if kk != "static"}
+        return new, metrics
+
     if mesh is None:
-        out = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(inner, donate_argnums=(0,) if donate else ())
     else:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
         data = NamedSharding(
             mesh, P(*([None] * (batch_ndims - 1) + ["data"])))
-        state_in = rep if state_shardings is None else state_shardings
-        out = jax.jit(
-            step_fn,
-            in_shardings=(state_in, data, rep),
-            out_shardings=(state_in, rep),
+        if state_shardings is None:
+            inner_in = static_in = rep
+        else:
+            inner_in = {kk: v for kk, v in state_shardings.items()
+                        if kk != "static"}
+            static_in = state_shardings.get("static", rep)
+        jitted = jax.jit(
+            inner,
+            in_shardings=(inner_in, static_in, data, rep),
+            out_shardings=(inner_in, rep),
             donate_argnums=(0,) if donate else (),
         )
+
+    def wrapper(state, batch, rng):
+        if isinstance(state, dict) and "static" in state:
+            static = state["static"]
+            rest = {kk: v for kk, v in state.items() if kk != "static"}
+            new, metrics = jitted(rest, static, batch, rng)
+            return dict(new, static=static), metrics
+        new, metrics = jitted(state, None, batch, rng)
+        return new, metrics
+
+    out = wrapper
     if cache is not None:
         cache[ckey] = out
     return out

@@ -246,9 +246,12 @@ int load_one_impl(const char* path, int size, int flip, float* out) {
       int sx_ = left + (flip ? (size - 1 - x) : x);
       const uint8_t* p = &resized[(size_t(top + y) * nw + sx_) * 3];
       float* q = &out[(size_t(y) * size + x) * 3];
-      q[0] = p[0] * (2.0f / 255.0f) - 1.0f;
-      q[1] = p[1] * (2.0f / 255.0f) - 1.0f;
-      q[2] = p[2] * (2.0f / 255.0f) - 1.0f;
+      // exact op sequence of data.dataset.to_normalized_array
+      // ((v/255)*2-1, each step rounded once in float32): bit-identity
+      // lets collate's uint8 requantization round-trip native batches
+      q[0] = p[0] / 255.0f * 2.0f - 1.0f;
+      q[1] = p[1] / 255.0f * 2.0f - 1.0f;
+      q[2] = p[2] / 255.0f * 2.0f - 1.0f;
     }
   }
   return 0;

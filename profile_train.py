@@ -86,8 +86,10 @@ def capture(outdir: str):
     }
     k = int(os.environ.get("DFT_BENCH_SPD", "10"))
     jitted = jit_train_step(multi_step(step_fn, k))
+    pix_u8 = os.environ.get("DFT_BENCH_PIXFMT", "uint8") != "f32"
     batch = {
-        "pixel_values": np.zeros((1, 512, 512, 3), np.float32),
+        "pixel_values": np.zeros((1, 512, 512, 3),
+                                 np.uint8 if pix_u8 else np.float32),
         "input_ids": np.zeros((1, 77), np.int32),
     }
     batches = stack_batches([batch] * k)

@@ -90,10 +90,95 @@ def _cache_probe_ok() -> bool:
     return proc.returncode == 0
 
 
+def _guard_cache_writes():
+    """Crash-once journal for poisoned cache WRITES.
+
+    On this jaxlib (0.9.0, XLA:CPU) ``LoadedExecutable.serialize()`` can
+    SIGSEGV for specific executables — observed twice on the full suite's
+    PTI-phase train step, reproducibly at the same write, while the same
+    test passes (and serializes!) in isolation, so the trigger is
+    accumulated process state.  A segfault is uncatchable in-process, so:
+    journal the cache key to a pending-file before each serialize and clear
+    it after; a key still pending at session start belonged to a write that
+    killed a previous run → deny-list it (that executable recompiles every
+    session instead of crashing any).  Concurrent suites sharing the cache
+    can at worst spuriously deny one key — a recompile, not a failure.
+    """
+    import contextlib
+    import glob as _glob
+
+    import jax._src.compilation_cache as _cc
+
+    # per-PID journal: the e2e relay children share this cache dir with the
+    # parent session, so a single well-known pending path would race
+    pending = os.path.join(_CACHE_DIR, f".write_pending.{os.getpid()}")
+    denyfile = os.path.join(_CACHE_DIR, ".write_denylist")
+    deny = set()
+    if os.path.exists(denyfile):
+        with open(denyfile) as f:
+            deny = set(f.read().split())
+    for stale in _glob.glob(os.path.join(_CACHE_DIR, ".write_pending.*")):
+        # a pending file from a LIVE sibling process is indistinguishable
+        # from a crashed one; spuriously deny-listing a key only costs a
+        # recompile, and the suite runs its children sequentially anyway
+        try:
+            with open(stale) as f:
+                crashed = f.read().strip()
+        except OSError:
+            continue
+        if crashed and crashed not in deny:
+            sys.stderr.write(
+                f"conftest: cache write of {crashed[:16]}… killed a previous "
+                "run; deny-listing it (will recompile, not crash)\n")
+            deny.add(crashed)
+            with open(denyfile, "a") as f:
+                f.write(crashed + "\n")
+        with contextlib.suppress(OSError):
+            os.remove(stale)
+
+    orig_put = _cc.put_executable_and_time
+
+    def safe_put(cache_key, *args, **kwargs):
+        if cache_key in deny:
+            return
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with open(pending, "w") as f:
+            f.write(cache_key)
+        try:
+            orig_put(cache_key, *args, **kwargs)
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(pending)
+
+    _cc.put_executable_and_time = safe_put
+
+
 _cache_mode = os.environ.get("DFT_TEST_COMPILE_CACHE", "probe")
 if _cache_mode != "0" and (_cache_mode == "1" or _cache_probe_ok()):
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _guard_cache_writes()
+
+
+# ---------------------------------------------------------------------------
+# Trainer-e2e isolation: the CLI trainer end-to-end files compile the
+# biggest executables in the suite, and on this host XLA:CPU segfaults
+# compiling (or serializing) them ONLY in accumulated full-suite process
+# state — three crashes at three different sites (cache write, cache load,
+# plain compile), all under cli_lora_pti-driven compiles past the ~140-test
+# mark, while each file passes reliably in a fresh process.  So: skip them
+# in the main session and relay each file through its own child pytest
+# (tests/test_zz_e2e_subprocess.py), where they both pass and stay covered.
+# DFT_E2E_CHILD=1 marks the child (collects normally);
+# DFT_E2E_INLINE=1 restores the old single-process behavior for debugging.
+# ---------------------------------------------------------------------------
+E2E_SUBPROCESS_FILES = [
+    "test_trainers.py",
+    "test_w_ti_trainers.py",
+    "test_dreambooth.py",
+]
+if not (os.environ.get("DFT_E2E_CHILD") or os.environ.get("DFT_E2E_INLINE")):
+    collect_ignore = list(E2E_SUBPROCESS_FILES)
 
 
 def pytest_report_header(config):

@@ -240,6 +240,50 @@ def test_runtime_lr_scale_sweeps_without_retrace(setup):
     assert moved[4.0] > moved[0.25] > 0
 
 
+def test_uint8_batch_matches_float_batch(setup):
+    """The uint8 wire format (collate requantization + on-device normalize)
+    must reproduce the fp32 pixel path to pixel-quantization rounding.
+
+    Exact bit-identity is unattainable across executables: XLA's algebraic
+    simplifier reassociates the affine normalize (v/255*2-1 becomes a fused
+    multiply-add), shifting each pixel by ≤1 ulp — so the contract is
+    rounding-level equivalence of the whole step, not bitwise equality."""
+    step_fn, state = setup
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (1, 16, 16, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+    ids = np.full((1, 77), 2, np.int32)
+    jitted = jit_train_step(step_fn)
+    key = jax.random.PRNGKey(5)
+
+    st_a, m_a = jitted(state, {"pixel_values": jnp.asarray(f32),
+                               "input_ids": jnp.asarray(ids)}, key)
+    st_b, m_b = jitted(state, {"pixel_values": jnp.asarray(u8),
+                               "input_ids": jnp.asarray(ids)}, key)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+        st_a["params"], st_b["params"],
+    )
+
+
+def test_static_modification_fails_loudly(setup):
+    """The fused/jit wrappers hoist state['static'] as a loop invariant; a
+    step that rebuilds a static leaf must be rejected at trace time, not
+    silently dropped."""
+    def bad_step(state, batch, rng):
+        new_static = dict(state["static"],
+                          orig_embeddings=state["static"]["orig_embeddings"] + 1)
+        return {**state, "static": new_static}, {"loss": jnp.zeros(())}
+
+    _, state = setup
+    batch = jax.tree_util.tree_map(jnp.asarray, _batches(1)[0])
+    with pytest.raises(ValueError, match="modified state\\['static'\\]"):
+        jit_train_step(bad_step)(state, batch, jax.random.PRNGKey(0))
+
+
 def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
     """A group size that recurs (e.g. spd clipped at every save boundary)
     must get its own fused executable instead of degrading to per-step
