@@ -246,6 +246,21 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def coordination_barrier(name: str = "sync", timeout_s: float = 1200.0) -> None:
+    """Process-level barrier over the DCN coordination service.
+
+    Unlike :func:`barrier` (which runs a device collective), this never
+    touches the devices — usable BEFORE any executable has run, e.g. to
+    line processes up between AOT compilation and the first collective
+    dispatch (whose Gloo/NCCL rendezvous has a short key-exchange deadline
+    that a peer still busy compiling would blow)."""
+    if jax.process_count() > 1:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def local_batch_size(global_batch_size: int) -> int:
     n = jax.process_count()
     assert global_batch_size % n == 0, (

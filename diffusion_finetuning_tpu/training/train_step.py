@@ -493,6 +493,32 @@ def jit_train_step(step_fn: Callable, mesh=None, donate: bool = False,
         new, metrics = jitted(state, None, batch, rng)
         return new, metrics
 
+    def aot_compile(state, batch, rng):
+        """AOT trace+compile WITHOUT executing; returns a runner with the
+        same ``(state, batch, rng) -> (state, metrics)`` contract bound to
+        the compiled executable.  Multi-process callers compile first, sync
+        at a coordination barrier, then run — the Gloo rendezvous of the
+        first collective dispatch has a ~30 s key-value deadline that a
+        peer process still busy tracing/compiling would blow."""
+        has_static = isinstance(state, dict) and "static" in state
+        if has_static:
+            rest = {kk: v for kk, v in state.items() if kk != "static"}
+            compiled = jitted.lower(rest, state["static"], batch, rng).compile()
+        else:
+            compiled = jitted.lower(state, None, batch, rng).compile()
+
+        def run(state, batch, rng):
+            if has_static:
+                static = state["static"]
+                rest = {kk: v for kk, v in state.items() if kk != "static"}
+                new, metrics = compiled(rest, static, batch, rng)
+                return dict(new, static=static), metrics
+            new, metrics = compiled(state, None, batch, rng)
+            return new, metrics
+
+        return run
+
+    wrapper.aot_compile = aot_compile
     out = wrapper
     if cache is not None:
         cache[ckey] = out
