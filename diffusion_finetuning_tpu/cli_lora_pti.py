@@ -365,22 +365,35 @@ def train(
                     yield batch
 
         stream = batch_stream()
-        global_step = 0
-        while global_step < num_steps:
+
+        def take_group(gs):
             # never straddle a save/eval boundary with a fused group, so
             # checkpoint cadence matches the reference exactly
             # save_steps=0 means "never save periodically" (the reference
             # crashes on 0 — cli_lora_pti.py:359 '% save_steps' — but a
             # production trainer honors the obvious contract)
             until_save = (
-                save_steps - (global_step % save_steps)
-                if save_steps else num_steps - global_step
+                save_steps - (gs % save_steps) if save_steps
+                else num_steps - gs
             )
-            take = min(dispatcher.spd, num_steps - global_step, until_save)
-            group = [next(stream) for _ in range(take)]
+            take = min(dispatcher.spd, num_steps - gs, until_save)
+            return [next(stream) for _ in range(take)]
+
+        global_step = 0
+        group = take_group(0)
+        prepared = dispatcher.prepare(group)
+        while global_step < num_steps:
             rng, key = jax.random.split(rng)
-            state, losses = dispatcher.run(state, group, key)
+            state, losses = dispatcher.run(state, group, key,
+                                           prepared=prepared)
+            take = len(group)
             global_step += take
+            # stage group i+1's host->device transfer BEFORE the blocking
+            # logging/saves below, so it hides under group i's device time
+            # (the dispatcher analogue of serving.py's dispatch-behind-fetch)
+            if global_step < num_steps:
+                group = take_group(global_step)
+                prepared = dispatcher.prepare(group)
             if log_wandb:
                 # device scalar: converting to float here would block on
                 # every step and serialize host/device

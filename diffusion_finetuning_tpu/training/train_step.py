@@ -389,8 +389,35 @@ class FusedDispatcher:
         self._fused[n] = fn
         return fn
 
-    def run(self, state, group, rng):
-        """Run ``len(group)`` (<= spd) steps; returns (state, losses (n,))."""
+    def prepare(self, group):
+        """Start the host→device move of a full group NOW, overlapping the
+        in-flight dispatch — the trainer analogue of the serving worker's
+        dispatch-behind-fetch (`serving.py:_loop`).  Returns an opaque
+        token for ``run(..., prepared=...)``; ``None`` for groups that
+        would take the per-step fallback (prepare never compiles).
+
+        Trainers call this for group i+1 right after dispatching group i:
+        the stack/shard/transfer host work (the dominant per-dispatch host
+        cost over a tunneled runtime) then hides under group i's device
+        time instead of sitting on the critical path."""
+        from jax.sharding import PartitionSpec as P
+
+        n = len(group)
+        if self.spd == 1 or n <= 1 or n not in self._fused:
+            return None
+        batches = stack_batches(group)
+        if self.mesh is not None:
+            batches = self._shard(batches, spec=P(None, "data"))
+        else:
+            # async device_put: returns immediately, transfer in flight
+            batches = jax.device_put(batches)
+        return (n, batches)
+
+    def run(self, state, group, rng, prepared=None):
+        """Run ``len(group)`` (<= spd) steps; returns (state, losses (n,)).
+
+        ``prepared`` (from :meth:`prepare` on the SAME group) skips the
+        stack/shard/transfer — the arrays are already on device."""
         from jax.sharding import PartitionSpec as P
 
         n = len(group)
@@ -399,8 +426,11 @@ class FusedDispatcher:
             return state, metrics["loss"][None]
         fn = self._fused_for(n) if n > 1 else None
         if fn is not None:
-            batches = stack_batches(group)
-            batches = self._shard(batches, spec=P(None, "data"))
+            if prepared is not None and prepared[0] == n:
+                batches = prepared[1]
+            else:
+                batches = stack_batches(group)
+                batches = self._shard(batches, spec=P(None, "data"))
             state, metrics = fn(state, batches, rng)
             return state, metrics["loss"]
         if self._tail is None:

@@ -303,6 +303,29 @@ def test_fused_dispatcher_compiles_for_recurring_partial_size(setup):
     assert int(state["step"]) == 6
 
 
+def test_fused_dispatcher_prepare_path_is_bit_identical(setup):
+    """run(prepared=prepare(group)) must equal run(group) exactly — the
+    prefetch only moves the stack/shard/transfer off the critical path."""
+    from diffusion_finetuning_tpu.training.train_step import FusedDispatcher
+
+    step_fn, state = setup
+    d = FusedDispatcher(step_fn, spd=3)
+    batches = _batches(3)
+
+    s1, l1 = d.run(state, batches, jax.random.PRNGKey(0))
+    prepared = d.prepare(batches)
+    assert prepared is not None and prepared[0] == 3
+    s2, l2 = d.run(state, batches, jax.random.PRNGKey(0), prepared=prepared)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        s1["params"], s2["params"]))
+
+    # partial / per-step groups are not preparable (prepare never compiles)
+    assert d.prepare(_batches(2)) is None
+    assert d.prepare(_batches(1)) is None
+
+
 def test_step_fn_eviction_releases_wrappers():
     """Dropping a step function must free its fused/jit wrappers too.
 

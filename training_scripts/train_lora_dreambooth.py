@@ -402,20 +402,33 @@ def main(args):
                 yield epoch, batch
 
     stream = batch_stream()
-    while global_step < args.max_train_steps:
-        take = min(spd, args.max_train_steps - global_step)
+    stream_epoch = [0]
+
+    def take_group(gs):
+        take = min(spd, args.max_train_steps - gs)
         group = []
-        epoch = 0
         for epoch, batch in stream:
+            stream_epoch[0] = epoch
             group.append(batch)
             if len(group) == take:
                 break
-        if not group:
-            break
+        return group
+
+    group = take_group(global_step)
+    prepared = dispatcher.prepare(group)
+    while global_step < args.max_train_steps and group:
         rng, key = jax.random.split(rng)
-        state, losses = dispatcher.run(state, group, key)
+        state, losses = dispatcher.run(state, group, key, prepared=prepared)
         stepped = len(group)
         global_step += stepped
+        epoch = stream_epoch[0]
+        # stage group i+1's host->device transfer BEFORE the blocking
+        # logging/saves below, so it hides under group i's device time
+        if global_step < args.max_train_steps:
+            group = take_group(global_step)
+            prepared = dispatcher.prepare(group)
+        else:
+            group = []
         for _ in range(stepped):
             timer.tick()
         if global_step % 50 < stepped or global_step >= args.max_train_steps:

@@ -371,23 +371,38 @@ def main(args, dataset_cls=None):
                 yield epoch, batch
 
     stream = batch_stream()
-    while global_step < args.max_train_steps:
+    stream_epoch = [0]
+
+    def take_group(gs):
         # staged LR gating flips at unfreeze_lora_step inside the jit, so
         # fused groups are safe across the boundary; clip only to the end
-        take = min(dispatcher.spd, args.max_train_steps - global_step)
-        group, epoch = [], 0
+        take = min(dispatcher.spd, args.max_train_steps - gs)
+        group = []
         for epoch, batch in stream:
+            stream_epoch[0] = epoch
             group.append(batch)
             if len(group) == take:
                 break
-        if not group:
-            break
+        return group
+
+    group = take_group(global_step)
+    prepared = dispatcher.prepare(group)
+    while global_step < args.max_train_steps and group:
         rng, key = jax.random.split(rng)
-        state, losses = dispatcher.run(state, group, key)
-        global_step += len(group)
-        for _ in range(len(group)):
+        state, losses = dispatcher.run(state, group, key, prepared=prepared)
+        stepped = len(group)
+        global_step += stepped
+        epoch = stream_epoch[0]
+        # stage group i+1's host->device transfer BEFORE the blocking
+        # logging/saves below, so it hides under group i's device time
+        if global_step < args.max_train_steps:
+            group = take_group(global_step)
+            prepared = dispatcher.prepare(group)
+        else:
+            group = []
+        for _ in range(stepped):
             timer.tick()
-        if global_step % 50 < len(group) or global_step >= args.max_train_steps:
+        if global_step % 50 < stepped or global_step >= args.max_train_steps:
             loss = float(jax.device_get(losses)[-1])
             print(f"step {global_step}/{args.max_train_steps} "
                   f"loss={loss:.4f} ({timer.steps_per_sec:.2f} steps/s)")
