@@ -48,6 +48,11 @@ _SHARED_EXEC_CACHE: dict = {}
 # StableDiffusionPipeline.materialize_lora); 0 forces the dynamic path
 MATERIALIZE_LORA_DEFAULT = bool(int(_os.environ.get("DFT_MATERIALIZE_LORA", "1")))
 
+# max distinct merged-LoRA param trees kept on device (multi-tenant serving
+# alternates adapters per batch; each merged SD1.5 UNet is ~1.7 GB bf16)
+MERGED_LORA_CACHE_SIZE = max(
+    1, int(_os.environ.get("DFT_MERGED_LORA_CACHE", "8")))
+
 
 def apply_learned_embed_in_clip(
     learned_embeds: Dict[str, np.ndarray],
@@ -369,17 +374,30 @@ class StableDiffusionPipeline:
         with self._swap_lock:
             self._merged_cache.clear()
 
-    def _merged_params(self, which: str):
+    def _merged_params(self, which: str, params=None, lora=None):
         """Params with the LoRA delta folded in, cached per (params, lora)
         tree identity — ``patch_pipe`` / ``tune_lora_scale`` swap trees
         functionally, so identity change == invalidation.  In-place edits to
         a lora tree (same dict object) are invisible to this cache; use
         :meth:`invalidate_merged_cache` after such edits (or, better, swap
-        trees functionally)."""
-        params = self.unet_params if which == "unet" else self.text_params
-        lora = self.unet_lora if which == "unet" else self.text_encoder_lora
-        hit = self._merged_cache.get(which)
+        trees functionally).
+
+        Explicit ``params``/``lora`` serve multi-tenant adapters
+        (:meth:`adapter_generation_params`): the cache is a small
+        identity-keyed LRU (``DFT_MERGED_LORA_CACHE``, default 8 entries)
+        so a serving loop alternating between adapters re-merges nothing —
+        each merged SD1.5 UNet is ~1.7 GB bf16 on device, hence the cap.
+        The cached tuple holds the key trees strongly, so the ids stay
+        valid for the cache's lifetime."""
+        if params is None:
+            params = self.unet_params if which == "unet" else self.text_params
+        if lora is None:
+            lora = (self.unet_lora if which == "unet"
+                    else self.text_encoder_lora)
+        key = (which, id(params), id(lora))
+        hit = self._merged_cache.get(key)
         if hit is not None and hit[0] is params and hit[1] is lora:
+            self._merged_cache[key] = self._merged_cache.pop(key)  # LRU touch
             return hit[2]
         fn = self._cached(
             ("materialize",), lambda: jax.jit(lora_lib.materialize_lora_tree)
@@ -398,8 +416,35 @@ class StableDiffusionPipeline:
                 merged = mesh_lib.shard_tree(merged, unet_sh)
             else:
                 merged = mesh_lib.replicate(merged, self.mesh)
-        self._merged_cache[which] = (params, lora, merged)
+        while len(self._merged_cache) >= MERGED_LORA_CACHE_SIZE:
+            self._merged_cache.pop(next(iter(self._merged_cache)))
+        self._merged_cache[key] = (params, lora, merged)
         return merged
+
+    def adapter_generation_params(self, unet_lora=None, text_lora=None,
+                                  text_params=None):
+        """The generation 4-tuple for an EXPLICIT adapter tree set, without
+        installing anything on the pipe — multi-tenant serving resolves one
+        of these per request batch (``GenerationServer.register_adapter``)
+        and passes it to ``__call__(..., adapter_params=...)``, so requests
+        for different LoRAs never mutate shared pipe state.  Honors the
+        materialization policy and the merged-tree LRU.  Reference analogue:
+        swapping LoRAs on one pipe via ``patch_pipe`` (lora.py:672-732) —
+        here per-request instead of global."""
+        with self._swap_lock:
+            unet_params = self.unet_params
+            if text_params is None:
+                text_params = self.text_params
+            if self.materialize_lora:
+                if unet_lora is not None:
+                    unet_params = self._merged_params(
+                        "unet", unet_params, unet_lora)
+                    unet_lora = None
+                if text_lora is not None:
+                    text_params = self._merged_params(
+                        "text", text_params, text_lora)
+                    text_lora = None
+            return unet_params, unet_lora, text_params, text_lora
 
     def _generation_params(self):
         """(unet_params, unet_lora, text_params, text_lora) for generation,
@@ -607,10 +652,14 @@ class StableDiffusionPipeline:
         scheduler: str = "ddim",
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "pil",
+        adapter_params=None,
     ):
         """``seed`` may be a per-prompt sequence (serving batches coalesce
         requests with different seeds); an int seeds element i with
-        ``seed + i``.  Passing ``rng`` uses one key for the whole batch."""
+        ``seed + i``.  Passing ``rng`` uses one key for the whole batch.
+        ``adapter_params`` (from :meth:`adapter_generation_params`) generates
+        with an explicit LoRA/TI tree set instead of the pipe's installed
+        one — the multi-tenant serving path."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         negs = (
             [negative_prompt] * len(prompts)
@@ -647,7 +696,9 @@ class StableDiffusionPipeline:
                     f"batch {b} must be a multiple of the mesh data axis ({n});"
                     " pad the prompt list or use a matching batch size"
                 )
-        unet_params, unet_lora, text_params, text_lora = self._generation_params()
+        unet_params, unet_lora, text_params, text_lora = (
+            adapter_params if adapter_params is not None
+            else self._generation_params())
         fn = self._denoise_fn(
             num_inference_steps, height, width, scheduler, b,
             mode, text_lora is not None,
@@ -825,11 +876,13 @@ class StableDiffusionPipeline:
         seed: int = 0,
         scheduler: str = "ddim",
         output_type: str = "pil",
+        adapter_params=None,
     ):
         """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow).
 
         ``scheduler``: ddim (default), dpm, or any sigma-space sampler —
-        euler / euler_a / lms, optionally with a ``:karras`` suffix."""
+        euler / euler_a / lms, optionally with a ``:karras`` suffix.
+        ``adapter_params``: see ``__call__``."""
         from ..models.schedulers import (
             DDIMScheduler,
             DPMSolverMultistepScheduler,
@@ -881,7 +934,9 @@ class StableDiffusionPipeline:
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )["input_ids"]
 
-        unet_params, unet_lora, text_params, text_lora = self._generation_params()
+        unet_params, unet_lora, text_params, text_lora = (
+            adapter_params if adapter_params is not None
+            else self._generation_params())
         fn = self._img2img_fn(
             num_inference_steps, t_start, h, w, len(prompts),
             text_lora is not None, scheduler,
@@ -953,7 +1008,51 @@ def patch_pipe(
         )
 
 
+def build_adapter(
+    pipe: StableDiffusionPipeline,
+    path: str,
+    token: Optional[str] = None,
+    r: int = 4,
+    patch_unet: bool = True,
+    patch_text: bool = True,
+    patch_ti: bool = True,
+    idempotent_token: bool = True,
+    unet_target_replace_module: set = lora_lib.DEFAULT_TARGET_REPLACE,
+    text_target_replace_module: set = lora_lib.TEXT_ENCODER_DEFAULT_TARGET_REPLACE,
+) -> Dict[str, Any]:
+    """Load a LoRA/TI file into adapter trees WITHOUT installing them —
+    the loading half of :func:`patch_pipe` (reference lora.py:672-732),
+    for multi-tenant serving (``GenerationServer.register_adapter``).
+
+    Returns a dict with whichever of ``unet_lora`` / ``text_encoder_lora`` /
+    ``text_params`` the file provided.  TI tokens are added to the SHARED
+    tokenizer (vocabulary grows once), but the embedding rows live only in
+    the returned ``text_params`` — requests generated with a different
+    adapter never see them."""
+    with pipe._swap_lock:
+        return _compute_patch_updates(
+            pipe, path, token, r, patch_unet, patch_text, patch_ti,
+            idempotent_token, unet_target_replace_module,
+            text_target_replace_module,
+        )
+
+
 def _patch_pipe_locked(
+    pipe, maybe_unet_path, token, r, patch_unet, patch_text, patch_ti,
+    idempotent_token, unet_target_replace_module, text_target_replace_module,
+):
+    updates = _compute_patch_updates(
+        pipe, maybe_unet_path, token, r, patch_unet, patch_text, patch_ti,
+        idempotent_token, unet_target_replace_module,
+        text_target_replace_module,
+    )
+    with pipe._swap_lock:
+        for attr, value in updates.items():
+            setattr(pipe, attr, value)
+    return pipe
+
+
+def _compute_patch_updates(
     pipe, maybe_unet_path, token, r, patch_unet, patch_text, patch_ti,
     idempotent_token, unet_target_replace_module, text_target_replace_module,
 ):
@@ -1003,10 +1102,7 @@ def _patch_pipe_locked(
                 tok_dict, pipe.text_params, pipe.tokenizer,
                 token=token, idempotent=idempotent_token,
             )
-    with pipe._swap_lock:
-        for attr, value in updates.items():
-            setattr(pipe, attr, value)
-    return pipe
+    return updates
 
 
 def tune_lora_scale_pipe(pipe: StableDiffusionPipeline, alpha: float = 1.0,

@@ -30,11 +30,13 @@ class _Request:
     guidance_scale: float
     scheduler: str
     seed: int
+    adapter: Optional[str] = None
     future: Future = field(default_factory=Future)
 
     def batch_key(self) -> Tuple:
-        return (self.height, self.width, self.steps, self.guidance_scale,
-                self.scheduler)
+        # adapter is part of the shape class: one batch = one LoRA tree set
+        return (self.adapter, self.height, self.width, self.steps,
+                self.guidance_scale, self.scheduler)
 
     def resolve(self, result) -> None:
         """set_result, tolerating futures the caller already cancelled —
@@ -75,6 +77,11 @@ class GenerationServer:
             self.max_batch = self.allowed_batches[-1]
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._carry: Optional[_Request] = None  # head of the next shape class
+        # multi-tenant LoRA serving: named adapter tree sets, routed per
+        # request (reference workflow: patch_pipe swapping LoRAs on one pipe,
+        # lora.py:672-732 — here per-request instead of process-global)
+        self._adapters: Dict[str, Dict[str, Any]] = {}
+        self._adapter_lock = threading.Lock()
         self._stop = threading.Event()
         # serializes submit()-vs-close() so a request can't slip into the
         # queue after close() has drained it (the caller would hang forever)
@@ -83,11 +90,43 @@ class GenerationServer:
         self._thread.start()
 
     # -- client API ----------------------------------------------------------
+    def register_adapter(self, name: str, source, **build_kwargs) -> None:
+        """Register a named LoRA/TI adapter for per-request routing.
+
+        ``source`` is a ``.safetensors`` / ``.pt`` path (loaded via
+        ``pipelines.build_adapter``) or a ready dict with any of
+        ``{"unet_lora", "text_encoder_lora", "text_params"}``.  Requests
+        submitted with ``adapter=name`` generate with exactly these trees —
+        never with the pipe's installed state — and the pipe's merged-LoRA
+        LRU keeps each adapter's materialized params on device, so batches
+        alternating between adapters re-merge nothing.  Re-registering a
+        name swaps it atomically for subsequent batches."""
+        if isinstance(source, str):
+            from .pipelines.pipeline import build_adapter
+
+            source = build_adapter(self.pipe, source, **build_kwargs)
+        with self._adapter_lock:
+            self._adapters[name] = dict(source)
+
+    def _adapter_params(self, name: Optional[str]):
+        if name is None:
+            return None
+        with self._adapter_lock:
+            trees = self._adapters[name]
+        return self.pipe.adapter_generation_params(
+            unet_lora=trees.get("unet_lora"),
+            text_lora=trees.get("text_encoder_lora"),
+            text_params=trees.get("text_params"),
+        )
+
     def submit(self, prompt: str, negative_prompt: str = "", height: int = 512,
                width: int = 512, steps: int = 30, guidance_scale: float = 7.5,
-               scheduler: str = "dpm", seed: int = 0) -> Future:
+               scheduler: str = "dpm", seed: int = 0,
+               adapter: Optional[str] = None) -> Future:
+        if adapter is not None and adapter not in self._adapters:
+            raise KeyError(f"unknown adapter {adapter!r}; register_adapter first")
         req = _Request(prompt, negative_prompt, height, width, steps,
-                       guidance_scale, scheduler, seed)
+                       guidance_scale, scheduler, seed, adapter)
         with self._submit_lock:
             if self._stop.is_set():
                 raise RuntimeError("GenerationServer is closed")
@@ -201,6 +240,7 @@ class GenerationServer:
                             scheduler=r0.scheduler,
                             seed=seeds,  # per-request seeds, inside the jit
                             output_type="device",
+                            adapter_params=self._adapter_params(r0.adapter),
                         )
                     except Exception as e:
                         for r in batch:

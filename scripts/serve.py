@@ -1,17 +1,22 @@
 """HTTP txt2img serving on one chip or a whole mesh.
 
 POST /generate  {"prompt": "...", "steps": 30, "height": 512, "width": 512,
-                 "guidance_scale": 7.5, "scheduler": "dpm", "seed": 0}
--> image/png
+                 "guidance_scale": 7.5, "scheduler": "dpm", "seed": 0,
+                 "adapter": "name"}        -> image/png
+POST /adapters  {"name": "...", "path": "lora.safetensors"}  -> 200
+                (register a LoRA/TI adapter for per-request routing)
 
 Concurrent requests are micro-batched onto the device by
-diffusion_finetuning_tpu.serving.GenerationServer; with --data_parallel the
-pipeline shards each batch across every local chip (params replicated,
-batch over the mesh's data axis) and the batch ladder rounds to mesh
-multiples.
+diffusion_finetuning_tpu.serving.GenerationServer; requests naming
+different adapters batch separately and generate with their own LoRA trees
+(multi-tenant serving — the pipe keeps an LRU of materialized merged
+params per adapter).  With --data_parallel the pipeline shards each batch
+across every local chip (params replicated, batch over the mesh's data
+axis) and the batch ladder rounds to mesh multiples.
 
 Usage: python scripts/serve.py MODEL_DIR [--lora path.safetensors]
-       [--port 8000] [--max_batch 4] [--data_parallel]
+       [--adapter name=path.safetensors ...] [--port 8000] [--max_batch 4]
+       [--data_parallel]
 """
 
 import io
@@ -31,7 +36,8 @@ from diffusion_finetuning_tpu.utils.cli import Fire
 
 def serve(model_dir: str, lora: str = None, port: int = 8000,
           max_batch: int = 4, host: str = "127.0.0.1",
-          data_parallel: bool = False, tensor_parallel: int = 1):
+          data_parallel: bool = False, tensor_parallel: int = 1,
+          adapter: list = ()):
     pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)
     if lora:
         patch_pipe(pipe, lora, patch_unet=True, patch_text=True, patch_ti=True)
@@ -61,9 +67,29 @@ def serve(model_dir: str, lora: str = None, port: int = 8000,
             pipe.shard_over(make_mesh(n))
             print(f"serving data-parallel over {n} devices")
     server = GenerationServer(pipe, max_batch=max_batch)
+    # --adapter name=path (repeatable): pre-register multi-tenant adapters
+    specs = [adapter] if isinstance(adapter, str) else list(adapter)
+    for spec in specs:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise ValueError(f"--adapter expects name=path, got {spec!r}")
+        server.register_adapter(name, path)
+        print(f"registered adapter {name!r} from {path}")
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
+            if self.path == "/adapters":
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    server.register_adapter(body["name"], body["path"])
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                except Exception as e:
+                    detail = " ".join(str(e).split())[:500]
+                    self.send_error(400, "adapter registration failed", detail)
+                return
             if self.path != "/generate":
                 self.send_error(404)
                 return
@@ -79,6 +105,7 @@ def serve(model_dir: str, lora: str = None, port: int = 8000,
                     guidance_scale=float(body.get("guidance_scale", 7.5)),
                     scheduler=body.get("scheduler", "dpm"),
                     seed=int(body.get("seed", 0)),
+                    adapter=body.get("adapter"),
                 )
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")

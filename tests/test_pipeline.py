@@ -200,7 +200,8 @@ def test_sharded_generation_matches_single_device(pipe):
         patched = pipe(prompts, num_inference_steps=2, height=16, width=16,
                        seed=0, output_type="np")
         assert np.abs(patched - sharded).max() > 0
-        merged = pipe._merged_cache["unet"][2]
+        merged = pipe._merged_cache[
+            ("unet", id(pipe.unet_params), id(pipe.unet_lora))][2]
         leaf = jax.tree_util.tree_leaves(merged)[0]
         assert len(leaf.sharding.device_set) == 4  # replicated on the mesh
         pipe.unet_lora = None

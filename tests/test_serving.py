@@ -194,6 +194,129 @@ def test_hot_swap_is_atomic(tmp_path):
         t.join(timeout=10)
 
 
+def _random_lora(targets, seed, r=1):
+    import jax
+
+    from diffusion_finetuning_tpu import lora as L
+
+    tree = L.inject_trainable_lora(targets, jax.random.PRNGKey(seed), r=r)
+
+    def rnd(path, leaf):
+        if path[-1].key == "scale":
+            return leaf
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), hash(
+            jax.tree_util.keystr(path)) % (2**31))
+        return 0.3 * jax.random.normal(k, leaf.shape, leaf.dtype)
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(rnd, tree)
+
+
+def test_multi_tenant_adapters_hammer(tmp_path):
+    """Multi-tenant LoRA serving: N threads submitting across 3 registered
+    adapters, concurrently with a patch loop mutating the pipe's default
+    LoRA state — every image must match its adapter's single-threaded
+    output (adapters route through explicit trees, never pipe attrs)."""
+    import jax
+
+    from diffusion_finetuning_tpu import lora as L
+    from diffusion_finetuning_tpu.pipelines.pipeline import (
+        build_adapter, patch_pipe)
+    from tests.test_cli_tools import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    unet_targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    text_targets = pipe.lora_targets(
+        "text_encoder", L.TEXT_ENCODER_DEFAULT_TARGET_REPLACE)
+
+    names, paths = [], []
+    for seed in (1, 2, 3):
+        p = str(tmp_path / f"adapter_{seed}.safetensors")
+        L.save_all(_random_lora(unet_targets, seed),
+                   _random_lora(text_targets, 100 + seed),
+                   unet_targets, text_targets, None, p)
+        names.append(f"tenant{seed}")
+        paths.append(p)
+    # two extra LoRAs for the concurrent default-state patch loop
+    churn = []
+    for seed in (8, 9):
+        p = str(tmp_path / f"churn_{seed}.safetensors")
+        L.save_all(_random_lora(unet_targets, seed),
+                   _random_lora(text_targets, 100 + seed),
+                   unet_targets, text_targets, None, p)
+        churn.append(p)
+
+    server = GenerationServer(pipe, max_batch=4, max_wait_ms=30)
+    trees = {}
+    for name, p in zip(names, paths):
+        trees[name] = build_adapter(pipe, p)
+        server.register_adapter(name, trees[name])
+
+    kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+    pipe_kw = dict(height=16, width=16, num_inference_steps=2,
+                   scheduler="ddim", output_type="np")
+
+    # single-threaded goldens per (adapter, seed), through the same
+    # explicit-tree path the server uses
+    golden = {}
+    for name in names:
+        ap = pipe.adapter_generation_params(
+            unet_lora=trees[name].get("unet_lora"),
+            text_lora=trees[name].get("text_encoder_lora"))
+        for seed in range(3):
+            golden[(name, seed)] = np.asarray(
+                pipe("a photo", seed=seed, adapter_params=ap, **pipe_kw))[0]
+    # adapters must actually differ for the test to mean anything
+    assert np.abs(golden[(names[0], 0)] - golden[(names[1], 0)]).max() > 0
+    assert np.abs(golden[(names[1], 0)] - golden[(names[2], 0)]).max() > 0
+
+    stop = threading.Event()
+
+    def patcher():
+        i = 0
+        while not stop.is_set():
+            patch_pipe(pipe, churn[i % 2], patch_unet=True, patch_text=True)
+            i += 1
+
+    t = threading.Thread(target=patcher, daemon=True)
+    t.start()
+    try:
+        futs = []
+        def submitter(name):
+            for seed in range(3):
+                futs.append(
+                    ((name, seed),
+                     server.submit("a photo", seed=seed, adapter=name, **kw)))
+
+        threads = [threading.Thread(target=submitter, args=(n,))
+                   for n in names]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for key, fut in futs:
+            img = np.asarray(fut.result(timeout=300)).astype(np.float32) / 255.0
+            ref = golden[key]
+            # goldens are float [0,1]; server returns PIL uint8 — compare
+            # at uint8 resolution
+            ref8 = (ref * 255).round()
+            img8 = (img * 255).round()
+            assert np.array_equal(img8, ref8), f"adapter mismatch for {key}"
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        server.close()
+
+    # unknown adapter rejected at submit time
+    with pytest.raises(KeyError):
+        server2 = GenerationServer(pipe, max_batch=2, max_wait_ms=5)
+        try:
+            server2.submit("x", adapter="nope", **kw)
+        finally:
+            server2.close()
+
+
 def test_server_over_tensor_parallel_mesh(pipe):
     """Serving on a (data, tp) mesh: the ladder rounds to the data axis only
     and generation matches the single-device images (tp splits the UNet
