@@ -764,6 +764,15 @@ class StableDiffusionPipeline:
             raise ValueError(f"{base} does not support the karras grid")
         if base == "ddim":
             sch = DDIMScheduler(self.scheduler_config)
+        elif base == "pndm":
+            # mid-grid restart, diffusers img2img semantics: the counter
+            # ramps from 0 on the truncated grid (first step plain/RK-
+            # skipped, second the midpoint re-eval, then Adams-Bashforth) —
+            # exactly what diffusers' step_plms does when the img2img
+            # pipeline slices scheduler.timesteps (its PLMS history is
+            # counter-based, not grid-position-based).  Only the stride
+            # comes from num_steps, so the sliced grid needs no rebuild.
+            sch = PNDMScheduler(self.scheduler_config)
         elif base == "dpm":
             # truncated grid: DPM restarts first-order at counter 0, so
             # slicing its per-n tables is a fresh solve on the sub-grid
@@ -781,10 +790,9 @@ class StableDiffusionPipeline:
                 num_steps, t_start)
         else:
             raise ValueError(
-                f"img2img supports ddim / dpm / euler / euler_a / lms (got "
-                f"{scheduler!r}); pndm's Runge-Kutta warmup cannot start "
-                "mid-grid")
-        stateful = sigma_space or base == "dpm"
+                "img2img supports ddim / pndm / dpm / euler / euler_a / lms "
+                f"(got {scheduler!r})")
+        stateful = sigma_space or base in ("dpm", "pndm")
         ddpm = DDPMScheduler(self.scheduler_config)
         unet = self.unet
         vae = self.vae
@@ -880,7 +888,9 @@ class StableDiffusionPipeline:
     ):
         """SDEdit-style img2img (reference scripts/run_img2img.ipynb flow).
 
-        ``scheduler``: ddim (default), dpm, or any sigma-space sampler —
+        ``scheduler``: ddim (default), pndm (the SD-default sampler the
+        reference notebook inherits — mid-grid restart with diffusers'
+        counter-based PLMS warmup), dpm, or any sigma-space sampler —
         euler / euler_a / lms, optionally with a ``:karras`` suffix.
         ``adapter_params``: see ``__call__``."""
         from ..models.schedulers import (
@@ -902,6 +912,7 @@ class StableDiffusionPipeline:
         sigma_bases = ("euler", "euler_a", "lms")
         grid_cls = {
             "ddim": DDIMScheduler,
+            "pndm": PNDMScheduler,
             "dpm": DPMSolverMultistepScheduler,
             "euler": EulerDiscreteScheduler,
             "euler_a": EulerAncestralDiscreteScheduler,

@@ -143,8 +143,9 @@ def test_img2img_multi_prompt(pipe):
 
 
 def test_img2img_sigma_space_schedulers(pipe):
-    """img2img accepts the sigma-space samplers (truncated-grid restart);
-    multistep-warmup schedulers are rejected with a clear error."""
+    """img2img accepts every sampler: sigma-space (truncated-grid restart),
+    dpm (fresh sub-grid solve), and pndm (diffusers-style counter-based
+    mid-grid PLMS warmup)."""
     init = (np.full((16, 16, 3), 128, np.uint8))
     a = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
                      scheduler="euler", output_type="np")
@@ -152,11 +153,11 @@ def test_img2img_sigma_space_schedulers(pipe):
                      scheduler="lms:karras", output_type="np")
     c = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
                      scheduler="dpm", output_type="np")
-    for img in (a, b, c):
-        assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
-    with pytest.raises(ValueError, match="mid-grid"):
-        pipe.img2img("a photo", init, num_inference_steps=4,
+    d = pipe.img2img("a photo", init, num_inference_steps=4, strength=0.6,
                      scheduler="pndm", output_type="np")
+    for img in (a, b, c, d):
+        assert img.shape == (1, 16, 16, 3) and np.isfinite(img).all()
+    assert np.abs(d - c).max() > 0  # pndm is a real, distinct sampler
     with pytest.raises(ValueError):
         pipe.img2img("a photo", init, num_inference_steps=4,
                      scheduler="euler:bogus", output_type="np")

@@ -155,6 +155,31 @@ def test_pndm_matches_numpy_reference():
                                    atol=1e-4, err_msg=f"step {i} t={t}")
 
 
+def test_pndm_mid_grid_restart_matches_numpy_reference():
+    """img2img truncates the PLMS grid; the scheduler must reproduce the
+    diffusers semantics of a fresh counter on the sliced grid (plain step,
+    midpoint re-eval, then Adams-Bashforth ramp) — validated against the
+    same straight-line numpy oracle, walked from the truncated position."""
+    cfg = SchedulerConfig()
+    sch = PNDMScheduler(cfg)
+    n = 10
+    ts = np.asarray(sch.timesteps(n))
+    for t_start in (3, 7):
+        ref = NumpyPLMS(cfg)
+        rng = np.random.default_rng(t_start)
+        sample_ref = rng.normal(size=(1, 4, 8, 8)).astype(np.float32)
+        sample_jax = jnp.asarray(sample_ref)
+        state = sch.init_state(sample_ref.shape)
+        for i, t in enumerate(ts[t_start:]):
+            eps = rng.normal(size=sample_ref.shape).astype(np.float32)
+            sample_ref = ref.step(eps, int(t), sample_ref, n)
+            sample_jax, state = sch.step(
+                jnp.asarray(eps), jnp.asarray(int(t)), sample_jax, state, n)
+            np.testing.assert_allclose(
+                np.asarray(sample_jax), sample_ref, atol=1e-4,
+                err_msg=f"t_start={t_start} step {i} t={t}")
+
+
 def test_dpm_solver_converges_on_toy_gaussian():
     """DPM-Solver++(2M) at 10 steps should denoise a known Gaussian problem
     to roughly the same x0 as DDIM at 50 steps.
