@@ -59,6 +59,14 @@ DEFAULT_EXP2 = bool(int(_os.environ.get("DFT_FLASH_EXP2", 1)))
 # Measured on v5e, S=4096/d=40 x5/step: dense is 22% faster (338 vs 433
 # ms/image of attention) — the padded layout burns HBM bandwidth on zeros.
 DEFAULT_HEAD_PAD = int(_os.environ.get("DFT_FLASH_HEAD_PAD", 8))
+# Heads per program (forward kernel).  The d=40 lane-padding tax itself is
+# NOT removable by packing — per-head contractions of width 40 only pack
+# densely by mixing heads, and a block-diagonal layout has byte-for-byte the
+# same padded-MXU cost as separate dots — but G>1 amortizes per-program
+# overhead (grid shrinks by G) and hands Mosaic G independent dot/softmax
+# chains to interleave on top of the KV unroll.  1 = off (the measured r3
+# kernel); requires (batch*heads) % G == 0, else silently falls back to 1.
+DEFAULT_HEAD_PACK = int(_os.environ.get("DFT_FLASH_HEAD_PACK", 1))
 LOG2E = 1.4426950408889634
 NEG_INF = -1e30
 
@@ -165,6 +173,108 @@ def _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0,
         ),
     )(q, k, v)
     return out, lse
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, kv_len,
+                       block_kv, heads_per, unroll=0, exp2=False):
+    """G-heads-per-program forward: same per-head math as _fwd_kernel, with
+    the KV loop body carrying G independent online-softmax chains so Mosaic
+    can interleave their MXU dots and VPU softmaxes."""
+    G = heads_per
+    qs = [q_ref[0, g] for g in range(G)]  # (Bq, Dp) each
+    bq, dp = qs[0].shape
+    skv_padded = k_ref.shape[2]
+    num_kv = skv_padded // block_kv
+    masked = kv_len != skv_padded
+    exp_fn = jnp.exp2 if exp2 else jnp.exp
+    logit_scale = scale * LOG2E if exp2 else scale
+
+    def body(i, carry):
+        col = None
+        if masked:
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1) + i * block_kv
+        out = []
+        for g in range(G):
+            acc, m_i, l_i = carry[g]
+            k = k_ref[0, g, pl.ds(i * block_kv, block_kv), :]
+            v = v_ref[0, g, pl.ds(i * block_kv, block_kv), :]
+            s = jax.lax.dot_general(
+                qs[g], k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * logit_scale
+            if masked:
+                s = jnp.where(col < kv_len, s, NEG_INF)
+            m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+            alpha = exp_fn(m_i - m_new)
+            p = exp_fn(s - m_new)
+            l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out.append((acc, m_new, l_new))
+        return tuple(out)
+
+    carry0 = tuple(
+        (jnp.zeros((bq, dp), jnp.float32),
+         jnp.full((bq, 1), NEG_INF, jnp.float32),
+         jnp.zeros((bq, 1), jnp.float32))
+        for _ in range(G)
+    )
+    if 0 < num_kv <= unroll:
+        carry = carry0
+        for i in range(num_kv):
+            carry = body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, num_kv, body, carry0)
+
+    log_fn = jnp.log2 if exp2 else jnp.log
+    for g in range(G):
+        acc, m_f, l_f = carry[g]
+        o_ref[0, g] = (acc / l_f).astype(o_ref.dtype)
+        lse_ref[0, g] = (m_f + log_fn(l_f)).reshape(1, bq)
+
+
+def _fwd_packed(q, k, v, scale, kv_len, block_q, block_kv, interpret, G,
+                unroll=0, exp2=False):
+    """Packed-grid forward: q/k/v (BH, S, Dp) with BH % G == 0.
+    Returns (out (BH,Sq,Dp), lse (BH,1,Sq)) — same contract as _fwd."""
+    bh, sq, dp = q.shape
+    skv = k.shape[1]
+    q4 = q.reshape(bh // G, G, sq, dp)
+    k4 = k.reshape(bh // G, G, skv, dp)
+    v4 = v.reshape(bh // G, G, skv, dp)
+    grid = (bh // G, sq // block_q)
+
+    kernel = functools.partial(
+        _fwd_kernel_packed, scale=scale, kv_len=kv_len, block_kv=block_kv,
+        heads_per=G, unroll=unroll, exp2=exp2,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, G, block_q, dp), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, G, skv, dp), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, G, skv, dp), lambda b, i: (b, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, block_q, dp), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((1, G, 1, block_q), lambda b, i: (b, 0, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh // G, G, sq, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh // G, G, 1, sq), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * skv * dp,
+            bytes_accessed=2 * bh * (sq + 2 * skv) * dp * q.dtype.itemsize,
+            transcendentals=bh * sq * skv,
+        ),
+    )(q4, k4, v4)
+    return out.reshape(bh, sq, dp), lse.reshape(bh, 1, sq)
 
 
 # ---------------------------------------------------------------------------
@@ -285,22 +395,35 @@ def _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _fwd_dispatch(q, k, v, scale, kv_len, block_q, block_kv, interpret,
+                  unroll, exp2, head_pack):
+    if head_pack > 1 and q.shape[0] % head_pack == 0:
+        return _fwd_packed(q, k, v, scale, kv_len, block_q, block_kv,
+                           interpret, head_pack, unroll, exp2)
+    return _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll,
+                exp2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _flash(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0,
-           exp2=False):
-    out, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll,
-                  exp2)
+           exp2=False, head_pack=1):
+    out, _ = _fwd_dispatch(q, k, v, scale, kv_len, block_q, block_kv,
+                           interpret, unroll, exp2, head_pack)
     return out
 
 
 def _flash_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll=0,
-               exp2=False):
-    out, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret,
-                    unroll, exp2)
+               exp2=False, head_pack=1):
+    out, lse = _fwd_dispatch(q, k, v, scale, kv_len, block_q, block_kv,
+                             interpret, unroll, exp2, head_pack)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, kv_len, block_q, block_kv, interpret, unroll, exp2, res, do):
+def _flash_bwd(scale, kv_len, block_q, block_kv, interpret, unroll, exp2,
+               head_pack, res, do):
+    # backward always runs the per-head grid: its dK/dV accumulators are
+    # already whole-sequence-resident per program, so head packing would
+    # only multiply VMEM pressure (lse/out contracts are identical)
     q, k, v, out, lse = res
     dq, dk, dv = _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv,
                       interpret, exp2, unroll)
@@ -322,6 +445,7 @@ def flash_attention(
     unroll: Optional[int] = None,
     exp2: Optional[bool] = None,
     head_pad: Optional[int] = None,
+    head_pack: Optional[int] = None,
 ) -> jnp.ndarray:
     """(B, Sq, H*D) x (B, Skv, H*D) -> (B, Sq, H*D), differentiable."""
     B, sq, C = q.shape
@@ -352,7 +476,9 @@ def flash_attention(
         unroll = DEFAULT_KV_UNROLL
     if exp2 is None:
         exp2 = DEFAULT_EXP2
+    if head_pack is None:
+        head_pack = DEFAULT_HEAD_PACK
     out = _flash(qp, kp, vp, float(scale), skv, bq, bkv, interpret,
-                 int(unroll), bool(exp2))
+                 int(unroll), bool(exp2), int(head_pack))
     out = out[:, :sq, :head_dim].reshape(B, heads, sq, head_dim)
     return out.transpose(0, 2, 1, 3).reshape(B, sq, C)

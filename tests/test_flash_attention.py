@@ -37,6 +37,44 @@ def test_forward_matches_xla(sq, skv, heads, d):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("pack", [2, 4])
+def test_head_pack_forward_bit_matches_unpacked(pack):
+    """G-heads-per-program packing is a scheduling change only: outputs must
+    equal the unpacked kernel exactly (same per-head math, same order)."""
+    q, k, v = _mk(2, 256, 256, 2, 40)  # BH = 4: divisible by 2 and 4
+    base = flash_attention(q, k, v, 2, interpret=True,
+                           block_q=128, block_kv=128, head_pack=1)
+    packed = flash_attention(q, k, v, 2, interpret=True,
+                             block_q=128, block_kv=128, head_pack=pack)
+    np.testing.assert_array_equal(np.asarray(packed), np.asarray(base))
+    # indivisible BH falls back to the unpacked kernel
+    q3, k3, v3 = _mk(1, 256, 77, 3, 40)
+    a = flash_attention(q3, k3, v3, 3, interpret=True,
+                        block_q=128, block_kv=128, head_pack=2)
+    b = flash_attention(q3, k3, v3, 3, interpret=True,
+                        block_q=128, block_kv=128, head_pack=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_head_pack_backward_matches_unpacked():
+    """The VJP through a packed forward equals the unpacked one (backward
+    always runs the per-head grid; the saved lse contract is identical)."""
+    q, k, v = _mk(2, 256, 256, 2, 40, seed=3)
+
+    def loss(fn_pack):
+        def f(q, k, v):
+            o = flash_attention(q, k, v, 2, interpret=True, block_q=128,
+                                block_kv=128, head_pack=fn_pack)
+            return jnp.sum(o * o)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g1 = loss(1)
+    g2 = loss(2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_backward_matches_xla():
     q, k, v = _mk(1, 256, 256, 2, 40)
 

@@ -255,10 +255,123 @@ def conv_case(name, b, h, w, c, dtype):
 
 
 # ---------------------------------------------------------------------------
+# fp32 rows at HIGHEST matmul precision (small shapes).
+#
+# The production-shape fp32 rows above compare at the MXU's DEFAULT precision
+# (bf16 passes) with loose floors, because forcing HIGHEST inside the kernels
+# VMEM-OOMs at S=4096 (the fp32 multi-pass emulation needs ~6x the dot
+# temporaries).  At S=512/d=64 with 256/256 blocks everything fits, so these
+# rows pin TRUE fp32 kernel numerics: Pallas vs an XLA oracle, both traced
+# under jax.default_matmul_precision("highest"), tolerance 1e-5 relative —
+# three orders tighter than the DEFAULT-precision floors.
+# ---------------------------------------------------------------------------
+
+HIGHEST_REL_TOL = 1e-5
+
+
+def attn_highest_case():
+    b, heads, sq, skv, d = 2, 4, 512, 512, 64
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, sq, heads * d), jnp.float32)
+    k = jax.random.normal(kk, (b, skv, heads * d), jnp.float32)
+    v = jax.random.normal(kv, (b, skv, heads * d), jnp.float32)
+    g = jax.random.normal(kg, (b, sq, heads * d), jnp.float32)
+
+    with jax.default_matmul_precision("highest"):
+        @jax.jit
+        def run(q, k, v, g):
+            ref_out, ref_vjp = jax.vjp(
+                lambda *a: xla_attention(*a, heads), q, k, v)
+            ref_grads = ref_vjp(g)
+            fl_out, fl_vjp = jax.vjp(
+                lambda *a: flash_attention(
+                    *a, heads, interpret=INTERPRET,
+                    block_q=256, block_kv=256),
+                q, k, v,
+            )
+            fl_grads = fl_vjp(g)
+            res = {"fwd": _err(fl_out, ref_out)}
+            for nm, fg, rg in zip("qkv", fl_grads, ref_grads):
+                res[f"d{nm}"] = _err(fg, rg)
+            return res
+
+        return run(q, k, v, g)
+
+
+def lora_highest_case():
+    m, k_dim, n, r = 512, 320, 320, 4
+    key = jax.random.PRNGKey(12)
+    kx, kw, kb, ku, kd, kg = jax.random.split(key, 6)
+    x = jax.random.normal(kx, (m, k_dim), jnp.float32)
+    w = jax.random.normal(kw, (k_dim, n), jnp.float32) * (k_dim**-0.5)
+    b = jax.random.normal(kb, (n,), jnp.float32)
+    up = jax.random.normal(ku, (n, r), jnp.float32)
+    down = jax.random.normal(kd, (r, k_dim), jnp.float32) * (1.0 / r)
+    g = jax.random.normal(kg, (m, n), jnp.float32)
+    scale = jnp.float32(0.7)
+
+    def ref_fn(x, w, b, up, down):
+        return x @ w + b + scale * ((x @ down.T) @ up.T)
+
+    with jax.default_matmul_precision("highest"):
+        @jax.jit
+        def run(x, w, b, up, down, g):
+            ref_out, ref_vjp = jax.vjp(ref_fn, x, w, b, up, down)
+            ref_grads = ref_vjp(g)
+            fl_out, fl_vjp = jax.vjp(
+                lambda x, w, b, up, down: lora_dense(
+                    x, w, b, up, down, scale, interpret=INTERPRET),
+                x, w, b, up, down,
+            )
+            fl_grads = fl_vjp(g)
+            res = {"fwd": _err(fl_out, ref_out)}
+            for nm, fg, rg in zip(
+                ("dx", "dw", "db", "dup", "ddown"), fl_grads, ref_grads
+            ):
+                res[nm] = _err(fg, rg)
+            return res
+
+        return run(x, w, b, up, down, g)
+
+
+def conv_highest_case():
+    b, h, w_, c = 1, 16, 16, 256
+    key = jax.random.PRNGKey(13)
+    kx, kk = jax.random.split(key, 2)
+    x = jax.random.normal(kx, (b, h, w_, c), jnp.float32)
+    k = jax.random.normal(kk, (3, 3, c, c), jnp.float32) * (9 * c) ** -0.5
+
+    def conv_xla(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    with jax.default_matmul_precision("highest"):
+        @jax.jit
+        def run(x, k):
+            ref = conv_xla(x, k)
+            zb = jnp.zeros((k.shape[-1],), x.dtype)
+            # fwd only: conv3x3's custom-VJP backward IS the XLA conv vjp
+            pa = conv3x3(x, k, zb, INTERPRET)
+            sh = _shifted_matmul_conv(x, k, 1)
+            return {"pallas_fwd": _err(pa, ref), "shifted_fwd": _err(sh, ref)}
+
+        return run(x, k)
+
+
+HIGHEST_CASES = [
+    ("flash_attention", "highest_s512_d64_blk256", attn_highest_case),
+    ("lora_dense", "highest_m512_k320_n320_r4", lora_highest_case),
+    ("conv_formulations", "highest_b1_16x16x256", conv_highest_case),
+]
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_SELFTEST_r03.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_SELFTEST_r04.json"
     platform = jax.devices()[0].platform
     results = []
     all_ok = True
@@ -293,6 +406,26 @@ def main():
             all_ok &= ok
             results.append(rec)
             print(json.dumps(rec))
+
+    # fp32 @ HIGHEST precision, small shapes, tight tolerance vs the oracle
+    for kernel, name, fn in HIGHEST_CASES:
+        res = jax.device_get(fn())
+        rec = {"kernel": kernel, "shape": name, "dtype": "float32_highest",
+               "rel_tol": HIGHEST_REL_TOL, "tensors": {}}
+        ok = True
+        for tensor, (f_abs, f_rel) in res.items():
+            f_abs, f_rel = float(f_abs), float(f_rel)
+            t_ok = f_rel <= HIGHEST_REL_TOL
+            ok &= t_ok
+            rec["tensors"][tensor] = {
+                "pallas_max_abs": round(f_abs, 10),
+                "pallas_max_rel": round(f_rel, 10),
+                "ok": t_ok,
+            }
+        rec["ok"] = ok
+        all_ok &= ok
+        results.append(rec)
+        print(json.dumps(rec))
 
     summary = {
         "platform": platform,
