@@ -210,7 +210,8 @@ class LoRAConv(nn.Module):
                 from ..ops import conv_pallas
 
                 if conv_pallas.supported(inp.shape, k.shape, strides,
-                                         padding=self.padding):
+                                         padding=self.padding,
+                                         itemsize=inp.dtype.itemsize):
                     return conv_pallas.conv3x3(
                         inp, k.astype(dtype),
                         jnp.zeros((k.shape[-1],), dtype))

@@ -52,11 +52,21 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _row_block(H, W, C):
+def _row_block(H, W, C, itemsize=2):
     """Rows per grid step: big enough to feed the MXU (target 512), small
-    enough that the double-buffered 9-tap x9 block stays ~<=3MB of VMEM."""
-    rows_cap = max(64, min(512, 1572864 // (9 * C)))
-    return max(1, min(H, rows_cap // W))
+    enough that the double-buffered 9-tap x9 block stays ~<=3MB of VMEM.
+
+    ``itemsize`` matters: the production compute path is bf16 (2 bytes),
+    but the fp32 selftest rows double the x9 block — at b2 64x64x320 the
+    2-byte sizing puts the fp32 compile 832KB over the 16MB scoped-VMEM
+    limit (observed on v5e after a compile-env change; r3 squeaked under).
+    Halving the row block for 4-byte dtypes keeps bf16 byte-identical.
+    """
+    rows_cap = max(64, min(512, 3145728 // (9 * C * itemsize)))
+    bh = max(1, min(H, rows_cap // W))
+    while bh > 1 and H % bh:  # grid needs bh | H; snap down to a divisor
+        bh -= 1
+    return bh
 
 
 def _kernel(x9_ref, w_ref, b_ref, o_ref, acc_ref):
@@ -87,7 +97,7 @@ def _conv3x3_fwd(x, kernel, bias, *, interpret=False):
     B, H, W, C = x.shape
     _, _, _, O = kernel.shape
     dtype = x.dtype
-    bh = _row_block(H, W, C)
+    bh = _row_block(H, W, C, dtype.itemsize)
     Op = _cdiv(O, BN) * BN
     if Op != O:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, Op - O)))
@@ -159,7 +169,8 @@ def _bwd(interpret, res, g):
 conv3x3.defvjp(_fwd, _bwd)
 
 
-def supported(x_shape, kernel_shape, strides, padding: int = 1) -> bool:
+def supported(x_shape, kernel_shape, strides, padding: int = 1,
+              itemsize: int = 2) -> bool:
     """Routing predicate: shapes this kernel handles efficiently.
 
     ``padding`` must be 1 (same-padding): :func:`conv3x3` hardcodes the
@@ -174,18 +185,18 @@ def supported(x_shape, kernel_shape, strides, padding: int = 1) -> bool:
     kh, kw, _, O = kernel_shape
     if (kh, kw) != (3, 3) or strides != (1, 1):
         return False
-    if H < 8 or H % _row_block(H, W, C) != 0:
+    if H < 8:
         return False
     # MXU-feedable contraction + lane dims; tiny C (e.g. the RGB stem),
     # tiny O (e.g. rank-r LoRA down convs, O -> 128 lane round-up), or
     # tiny W would waste the tile
     if C % 16 != 0 or C < 64 or O < 64 or W < 8:
         return False
-    # VMEM budget (double-buffered x9 + weights + fp32 accumulator);
-    # 2-byte elements — the TPU compute path is bf16
-    bh = _row_block(H, W, C)
-    vmem = (2 * 9 * bh * W * C * 2
-            + 2 * 9 * C * BN * 2
+    # VMEM budget (double-buffered x9 + weights + fp32 accumulator) at the
+    # caller's element size (bf16 on the production path)
+    bh = _row_block(H, W, C, itemsize)
+    vmem = (2 * 9 * bh * W * C * itemsize
+            + 2 * 9 * C * BN * itemsize
             + bh * W * BN * 4
-            + 2 * bh * W * BN * 2)
+            + 2 * bh * W * BN * itemsize)
     return vmem <= 12 * 1024 * 1024

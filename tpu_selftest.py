@@ -202,7 +202,13 @@ from diffusion_finetuning_tpu.models.layers import (  # noqa: E402
     _im2col_conv,
     _shifted_matmul_conv,
 )
+from diffusion_finetuning_tpu.ops import conv_pallas  # noqa: E402
 from diffusion_finetuning_tpu.ops.conv_pallas import conv3x3  # noqa: E402
+
+# Pallas-conv rows skipped because the production routing predicate
+# (conv_pallas.supported) rejects the (shape, itemsize): recorded in the
+# artifact so a skip is visible, not silent.
+SKIPPED_ROWS = []
 
 CONV_SHAPES = [  # (B, H, W, C) at the SD1.5 UNet levels
     ("conv_b2_64x64x320", 2, 64, 64, 320),
@@ -223,6 +229,23 @@ def conv_case(name, b, h, w, c, dtype):
             x, k, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+    # Mirror production routing: layers.py only calls conv3x3 where
+    # supported() accepts the (shape, itemsize).  fp32 at C=1280 exceeds
+    # the 16MB scoped-VMEM limit (the double-buffered (9,1280,128) fp32
+    # weight block alone is 11.8MB) — the kernel is bf16-production-path
+    # code, and these rows test exactly what ships.
+    itemsize = jnp.dtype(dtype).itemsize
+    run_pallas = conv_pallas.supported(
+        (b, h, w, c), (3, 3, c, c), (1, 1), itemsize=itemsize)
+    if not run_pallas:
+        SKIPPED_ROWS.append({
+            "kernel": "conv_formulations", "shape": name,
+            "dtype": jnp.dtype(dtype).name, "rows": "pallas_*",
+            "reason": "conv_pallas.supported()=False at this itemsize "
+                      "(double-buffered VMEM > 16MB scoped limit); "
+                      "production routing never selects the kernel here",
+        })
+
     @jax.jit
     def run(x, k, g):
         xf, kf, gf = (t.astype(jnp.float32) for t in (x, k, g))
@@ -235,17 +258,18 @@ def conv_case(name, b, h, w, c, dtype):
         im_grads = im_vjp(g)
         xl_out, xl_vjp = jax.vjp(conv_xla, x, k)
         xl_grads = xl_vjp(g)
-        # compiled (non-interpret) Pallas conv kernel; its custom-VJP
-        # backward is the XLA conv vjp, so the fwd row is the new signal
-        zb = jnp.zeros((k.shape[-1],), x.dtype)
-        pa_out, pa_vjp = jax.vjp(lambda x, k: conv3x3(x, k, zb, INTERPRET),
-                                 x, k)
-        pa_grads = pa_vjp(g)
+        rows = [("shifted", sh_out, sh_grads), ("im2col", im_out, im_grads)]
+        if run_pallas:
+            # compiled (non-interpret) Pallas conv kernel; its custom-VJP
+            # backward is the XLA conv vjp, so the fwd row is the new signal
+            zb = jnp.zeros((k.shape[-1],), x.dtype)
+            pa_out, pa_vjp = jax.vjp(
+                lambda x, k: conv3x3(x, k, zb, INTERPRET), x, k)
+            pa_grads = pa_vjp(g)
+            rows.append(("pallas", pa_out, pa_grads))
 
         res = {}
-        for tag, out, grads in (("shifted", sh_out, sh_grads),
-                                ("im2col", im_out, im_grads),
-                                ("pallas", pa_out, pa_grads)):
+        for tag, out, grads in rows:
             res[f"{tag}_fwd"] = (_err(out, ref_out), _err(xl_out, ref_out))
             for nm, fg, xg, rg in zip(("dx", "dk"), grads, xl_grads, ref_grads):
                 res[f"{tag}_{nm}"] = (_err(fg, rg), _err(xg, rg))
@@ -435,6 +459,7 @@ def main():
         "abs_floor": ABS_FLOOR,
         "n_cases": len(results),
         "all_ok": all_ok,
+        "skipped_rows": SKIPPED_ROWS,
         "results": results,
     }
     with open(out_path, "w") as f:
