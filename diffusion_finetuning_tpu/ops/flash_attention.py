@@ -395,9 +395,32 @@ def _bwd(q, k, v, out, lse, do, scale, kv_len, block_q, block_kv, interpret,
 # ---------------------------------------------------------------------------
 
 
+def head_pack_fits_vmem(G: int, skv: int, dp: int, block_q: int = 512,
+                        itemsize: int = 2) -> bool:
+    """Whether the packed forward's VMEM residency fits the 16MB scope.
+
+    The packed kernel keeps G FULL KV streams in VMEM (its k/v BlockSpecs
+    span the padded sequence), double-buffered, with the head dim
+    lane-padded to 128 — at S=4096 that is 4MB per stream pair per G, so
+    G=4 blows the scope by itself (observed v5e compile failure: 16.77M >
+    16M at G=4/S=4096/d=40).  Mirrors conv_pallas.supported()'s role:
+    production routing must never select a config the compiler rejects.
+    """
+    if G <= 1:
+        return True
+    lanes = max(128, dp)
+    skv_p = _cdiv(skv, 512) * 512 if skv > 512 else skv  # kv pad granularity
+    kv_bytes = 2 * 2 * G * skv_p * lanes * itemsize      # dbl-buffered k+v
+    qo_bytes = 2 * 2 * G * block_q * lanes * itemsize    # q + out blocks
+    acc_bytes = G * block_q * lanes * 4 * 3              # fp32 carries
+    return kv_bytes + qo_bytes + acc_bytes <= 12 * 1024 * 1024
+
+
 def _fwd_dispatch(q, k, v, scale, kv_len, block_q, block_kv, interpret,
                   unroll, exp2, head_pack):
-    if head_pack > 1 and q.shape[0] % head_pack == 0:
+    if (head_pack > 1 and q.shape[0] % head_pack == 0
+            and head_pack_fits_vmem(head_pack, k.shape[1], q.shape[-1],
+                                    block_q, q.dtype.itemsize)):
         return _fwd_packed(q, k, v, scale, kv_len, block_q, block_kv,
                            interpret, head_pack, unroll, exp2)
     return _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret, unroll,
