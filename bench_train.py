@@ -117,7 +117,8 @@ def main():
         for i in range(n_dispatch):
             cur = dev
             state, m = jitted(state, cur, jax.random.PRNGKey(3 + i))
-            dev = jax.device_put(host_stacks[(i + 1) % 2])
+            if i + 1 < n_dispatch:  # the last stage would feed no dispatch
+                dev = jax.device_put(host_stacks[(i + 1) % 2])
         jax.block_until_ready(m["loss"])
     else:
         t0 = time.perf_counter()

@@ -380,20 +380,8 @@ def train(
             return [next(stream) for _ in range(take)]
 
         global_step = 0
-        group = take_group(0)
-        prepared = dispatcher.prepare(group)
-        while global_step < num_steps:
-            rng, key = jax.random.split(rng)
-            state, losses = dispatcher.run(state, group, key,
-                                           prepared=prepared)
-            take = len(group)
-            global_step += take
-            # stage group i+1's host->device transfer BEFORE the blocking
-            # logging/saves below, so it hides under group i's device time
-            # (the dispatcher analogue of serving.py's dispatch-behind-fetch)
-            if global_step < num_steps:
-                group = take_group(global_step)
-                prepared = dispatcher.prepare(group)
+        for state, losses, take, global_step in dispatcher.drive(
+                state, rng, take_group, num_steps):
             if log_wandb:
                 # device scalar: converting to float here would block on
                 # every step and serialize host/device

@@ -16,6 +16,7 @@ import html
 import json
 import os
 import re
+import threading
 from typing import Dict, List, Optional, Sequence, Union
 
 __all__ = ["CLIPTokenizer"]
@@ -97,6 +98,10 @@ class CLIPTokenizer:
         self.unk_token = "<|endoftext|>"  # HF CLIPTokenizer default
         self.added_tokens: Dict[str, int] = {}
         self._added_pattern: Optional[re.Pattern] = None
+        # Serving registers TI adapters (add_tokens) concurrently with
+        # worker-thread tokenization; this keeps vocab mutation atomic with
+        # respect to encode/decode (scripts/serve.py POST /adapters).
+        self._vocab_lock = threading.RLock()
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -135,15 +140,16 @@ class CLIPTokenizer:
         tokens, lora.py:636-645)."""
         if isinstance(tokens, str):
             tokens = [tokens]
-        added = 0
-        for t in tokens:
-            if t in self.encoder or t in self.added_tokens:
-                continue
-            self.added_tokens[t] = len(self.encoder) + len(self.added_tokens)
-            added += 1
-        if added:
-            self._added_pattern = None  # invalidate the cached split pattern
-        return added
+        with self._vocab_lock:
+            added = 0
+            for t in tokens:
+                if t in self.encoder or t in self.added_tokens:
+                    continue
+                self.added_tokens[t] = len(self.encoder) + len(self.added_tokens)
+                added += 1
+            if added:
+                self._added_pattern = None  # invalidate the cached pattern
+            return added
 
     def convert_tokens_to_ids(self, token: Union[str, Sequence[str]]):
         if isinstance(token, (list, tuple)):
@@ -238,13 +244,16 @@ class CLIPTokenizer:
         texts = [text] if single else list(text)
         max_length = max_length or self.model_max_length
         all_ids = []
-        for t in texts:
-            ids = [self.bos_token_id] + self._tokenize_text(t) + [self.eos_token_id]
-            if truncation and len(ids) > max_length:
-                ids = ids[: max_length - 1] + [self.eos_token_id]
-            if padding == "max_length":
-                ids = ids + [self.encoder[self.pad_token]] * (max_length - len(ids))
-            all_ids.append(ids)
+        with self._vocab_lock:
+            for t in texts:
+                ids = ([self.bos_token_id] + self._tokenize_text(t)
+                       + [self.eos_token_id])
+                if truncation and len(ids) > max_length:
+                    ids = ids[: max_length - 1] + [self.eos_token_id]
+                if padding == "max_length":
+                    ids = ids + ([self.encoder[self.pad_token]]
+                                 * (max_length - len(ids)))
+                all_ids.append(ids)
         if return_tensors == "np":
             import numpy as np
 
@@ -253,10 +262,12 @@ class CLIPTokenizer:
 
     def decode(self, ids: Sequence[int]) -> str:
         toks = []
-        for i in ids:
-            tok = self.decoder.get(int(i)) or next(
-                (t for t, j in self.added_tokens.items() if j == int(i)), "")
-            toks.append(tok)
+        with self._vocab_lock:
+            for i in ids:
+                tok = self.decoder.get(int(i)) or next(
+                    (t for t, j in self.added_tokens.items() if j == int(i)),
+                    "")
+                toks.append(tok)
         text = "".join(toks)
         text = bytearray(
             self.byte_decoder.get(c, ord(" ")) for c in text.replace("</w>", " ")

@@ -195,6 +195,13 @@ def supported(x_shape, kernel_shape, strides, padding: int = 1,
     # VMEM budget (double-buffered x9 + weights + fp32 accumulator) at the
     # caller's element size (bf16 on the production path)
     bh = _row_block(H, W, C, itemsize)
+    if bh < H and bh * W < 128:
+        # the divisor snap can degenerate to bh=1 (e.g. prime H from an
+        # odd img2img latent size): many grid steps of <128-row matmuls
+        # starve the MXU — leave those shapes on the XLA emitter.  A
+        # whole-image block (bh == H, e.g. the 8x8 UNet level's 64 rows)
+        # is exempt: one step cannot be tiled better.
+        return False
     vmem = (2 * 9 * bh * W * C * itemsize
             + 2 * 9 * C * BN * itemsize
             + bh * W * BN * 4

@@ -163,6 +163,7 @@ class StableDiffusionPipeline:
         # dynamic path (e.g. to share an executable with a training loop).
         self.materialize_lora: bool = MATERIALIZE_LORA_DEFAULT
         self._merged_cache: dict = {}
+        self._merged_current: dict = {}
         # Multi-chip data-parallel generation: when set (via shard_over), the
         # denoise jit shards the request batch over the mesh's ``data`` axis
         # and replicates params — XLA places per-chip UNet work and the ICI
@@ -174,6 +175,35 @@ class StableDiffusionPipeline:
         # sees one consistent (params, lora) tree set — never e.g. a new UNet
         # LoRA paired with stale text params.
         self._swap_lock = threading.RLock()
+
+    @property
+    def text_params(self):
+        return self._text_params
+
+    @text_params.setter
+    def text_params(self, params):
+        """Keep the text-encoder module in sync with the embedding table.
+
+        TI flows grow the token-embedding rows past ``config.vocab_size``
+        (``resize_token_embeddings`` — reference cli_lora_pti.py:70-107);
+        flax validates param shapes against the module config on every
+        apply, so a stale ``vocab_size`` would raise ScopeParamShapeError
+        at encode time on a real checkpoint (whose table is sized exactly
+        to the vocabulary — the tiny test configs have slack rows, which
+        is why only real-weight runs would hit it).  Swapping the config
+        also rotates the executable-cache key (``_exec_cache_key``), so
+        stale-vocab executables are never reused."""
+        import dataclasses as _dc
+
+        try:
+            rows = params["token_embedding"]["embedding"].shape[0]
+        except (TypeError, KeyError):
+            rows = None
+        if rows is not None and rows != self.text_config.vocab_size:
+            self.text_config = _dc.replace(self.text_config, vocab_size=rows)
+            self.text_encoder = CLIPTextModel(self.text_config,
+                                              dtype=self.dtype)
+        self._text_params = params
 
     @property
     def vae_scale_factor(self) -> int:
@@ -208,6 +238,7 @@ class StableDiffusionPipeline:
         self.unet_lora = cast(self.unet_lora)
         self.text_encoder_lora = cast(self.text_encoder_lora)
         self._merged_cache.clear()
+        self._merged_current.clear()
         return self
 
     # -- reference-compat model addressing ---------------------------------
@@ -311,6 +342,7 @@ class StableDiffusionPipeline:
         self.mesh = mesh
         self.__dict__.pop("_fn_cache", None)  # executables carry shardings
         self._merged_cache.clear()
+        self._merged_current.clear()
         if mesh is None and getattr(self, "_unet_shardings", None) is not None:
             # leaving tensor-parallel mode: gather the column/row shards back
             # onto ONE device — and move the replicated trees with them, so
@@ -373,6 +405,7 @@ class StableDiffusionPipeline:
         functionally and never need this."""
         with self._swap_lock:
             self._merged_cache.clear()
+            self._merged_current.clear()
 
     def _merged_params(self, which: str, params=None, lora=None):
         """Params with the LoRA delta folded in, cached per (params, lora)
@@ -383,17 +416,27 @@ class StableDiffusionPipeline:
         trees functionally).
 
         Explicit ``params``/``lora`` serve multi-tenant adapters
-        (:meth:`adapter_generation_params`): the cache is a small
+        (:meth:`adapter_generation_params`): those land in a small
         identity-keyed LRU (``DFT_MERGED_LORA_CACHE``, default 8 entries)
         so a serving loop alternating between adapters re-merges nothing —
         each merged SD1.5 UNet is ~1.7 GB bf16 on device, hence the cap.
-        The cached tuple holds the key trees strongly, so the ids stay
-        valid for the cache's lifetime."""
+        The PIPE-INSTALLED trees (``params``/``lora`` omitted) use a
+        single slot per ``which`` instead: hot-swap and scale-sweep loops
+        replace the installed trees every iteration, and their superseded
+        merges are garbage — routing them through the LRU would retain up
+        to 8 dead ~1.7 GB UNets on a 16 GB chip.  The cached tuples hold
+        the key trees strongly, so the ids stay valid for the cache's
+        lifetime."""
+        implicit = params is None and lora is None
         if params is None:
             params = self.unet_params if which == "unet" else self.text_params
         if lora is None:
             lora = (self.unet_lora if which == "unet"
                     else self.text_encoder_lora)
+        if implicit:
+            hit = self._merged_current.get(which)
+            if hit is not None and hit[0] is params and hit[1] is lora:
+                return hit[2]
         key = (which, id(params), id(lora))
         hit = self._merged_cache.get(key)
         if hit is not None and hit[0] is params and hit[1] is lora:
@@ -416,6 +459,9 @@ class StableDiffusionPipeline:
                 merged = mesh_lib.shard_tree(merged, unet_sh)
             else:
                 merged = mesh_lib.replicate(merged, self.mesh)
+        if implicit:
+            self._merged_current[which] = (params, lora, merged)
+            return merged
         while len(self._merged_cache) >= MERGED_LORA_CACHE_SIZE:
             self._merged_cache.pop(next(iter(self._merged_cache)))
         self._merged_cache[key] = (params, lora, merged)
@@ -482,12 +528,34 @@ class StableDiffusionPipeline:
 
         return jax.jit(run)
 
+    @staticmethod
+    def _check_ids_in_vocab(ids, text_params) -> None:
+        """Token ids must index inside the SELECTED embedding table.
+
+        The tokenizer vocabulary is shared across tenants (each
+        ``register_adapter``/``patch_pipe`` TI load grows it once), but
+        embedding rows live per adapter tree — a prompt using a token
+        registered AFTER this adapter's table was built would gather a
+        clamped (= wrong, silent) row inside the jit.  Raise instead."""
+        rows = text_params["token_embedding"]["embedding"].shape[0]
+        mx = int(ids.max())
+        if mx >= rows:
+            raise ValueError(
+                f"prompt tokenizes to id {mx} but the selected text-encoder "
+                f"embedding table has only {rows} rows — the token was added "
+                "to the shared vocabulary after this adapter/pipe tree was "
+                "built. Re-register the adapter (or re-run patch_pipe) so "
+                "its embedding table covers the token, or drop the token "
+                "from the prompt."
+            )
+
     def encode_prompt(self, prompts: Sequence[str]) -> jnp.ndarray:
         ids = self.tokenizer(
             list(prompts), padding="max_length", truncation=True,
             max_length=self.tokenizer.model_max_length, return_tensors="np",
         )["input_ids"]
         _, _, text_params, text_lora = self._generation_params()
+        self._check_ids_in_vocab(ids, text_params)
         fn = self._encode_fn(text_lora is not None)
         return fn(text_params, text_lora, jnp.asarray(ids))
 
@@ -699,6 +767,7 @@ class StableDiffusionPipeline:
         unet_params, unet_lora, text_params, text_lora = (
             adapter_params if adapter_params is not None
             else self._generation_params())
+        self._check_ids_in_vocab(ids, text_params)
         fn = self._denoise_fn(
             num_inference_steps, height, width, scheduler, b,
             mode, text_lora is not None,
@@ -948,6 +1017,7 @@ class StableDiffusionPipeline:
         unet_params, unet_lora, text_params, text_lora = (
             adapter_params if adapter_params is not None
             else self._generation_params())
+        self._check_ids_in_vocab(ids, text_params)
         fn = self._img2img_fn(
             num_inference_steps, t_start, h, w, len(prompts),
             text_lora is not None, scheduler,

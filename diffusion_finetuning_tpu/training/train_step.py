@@ -413,6 +413,37 @@ class FusedDispatcher:
             batches = jax.device_put(batches)
         return (n, batches)
 
+    def drive(self, state, rng, take_group, total_steps, start_step=0):
+        """Pipelined fused-dispatch loop — the ONE loop driver all trainers
+        share (see CLAUDE.md: extend FusedDispatcher, don't fork per-trainer
+        loop mechanics).
+
+        ``take_group(global_step) -> list[batch]`` supplies each group
+        (trainers encode their boundary policy there: save-window clipping,
+        epoch streaming, stream exhaustion).  Yields
+        ``(state, losses, stepped, global_step)`` after each dispatch,
+        having ALREADY staged group i+1's host→device transfer via
+        :meth:`prepare` — so the trainer's per-iteration logging/saving
+        (blocking host work) hides under group i+1's device time.  The
+        trainer keeps the last yielded ``state``."""
+        gs = start_step
+        group = take_group(gs)
+        prepared = self.prepare(group)
+        while gs < total_steps and group:
+            rng, key = jax.random.split(rng)
+            state, losses = self.run(state, group, key, prepared=prepared)
+            stepped = len(group)
+            gs += stepped
+            # stage group i+1's transfer BEFORE the caller's blocking
+            # logging/saves run in the yield body
+            if gs < total_steps:
+                nxt = take_group(gs)
+                prepared = self.prepare(nxt)
+            else:
+                nxt = []
+            yield state, losses, stepped, gs
+            group = nxt
+
     def run(self, state, group, rng, prepared=None):
         """Run ``len(group)`` (<= spd) steps; returns (state, losses (n,)).
 

@@ -176,6 +176,10 @@ E2E_SUBPROCESS_FILES = [
     "test_trainers.py",
     "test_w_ti_trainers.py",
     "test_dreambooth.py",
+    # crashes in accumulated late-suite state at its big fp32 UNet compile
+    # (cache-write SIGSEGV/SIGABRT with a DIFFERENT cache key each run, so
+    # the write deny-list cannot converge on it); passes in a fresh process
+    "test_torch_oracle.py",
 ]
 if not (os.environ.get("DFT_E2E_CHILD") or os.environ.get("DFT_E2E_INLINE")):
     collect_ignore = list(E2E_SUBPROCESS_FILES)

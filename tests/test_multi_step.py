@@ -326,6 +326,57 @@ def test_fused_dispatcher_prepare_path_is_bit_identical(setup):
     assert d.prepare(_batches(1)) is None
 
 
+def test_fused_dispatcher_drive_matches_manual_loop(setup):
+    """drive() — the shared trainer loop driver — must walk the exact same
+    (state, losses, step-count) trajectory as the manual
+    take_group/prepare/run loop it replaced, including boundary-clipped
+    and trailing partial groups."""
+    from diffusion_finetuning_tpu.training.train_step import FusedDispatcher
+
+    step_fn, state = setup
+    total, spd, save_every = 7, 3, 4  # clips at 3,1(save),3 -> sizes 3,1,3
+    all_batches = _batches(total)
+
+    def make_take(stream_batches):
+        it = iter(stream_batches)
+
+        def take_group(gs):
+            until_save = save_every - (gs % save_every)
+            take = min(spd, total - gs, until_save)
+            return [b for _, b in zip(range(take), it)]
+        return take_group
+
+    # manual reference loop (the pre-refactor trainer mechanics)
+    d1 = FusedDispatcher(step_fn, spd=spd)
+    tg = make_take(all_batches)
+    ref_state, ref_losses, gs = state, [], 0
+    rng = jax.random.PRNGKey(5)
+    group = tg(gs)
+    prepared = d1.prepare(group)
+    while gs < total and group:
+        rng, key = jax.random.split(rng)
+        ref_state, losses = d1.run(ref_state, group, key, prepared=prepared)
+        gs += len(group)
+        group = tg(gs) if gs < total else []
+        prepared = d1.prepare(group)
+        ref_losses.extend(np.asarray(losses).tolist())
+
+    d2 = FusedDispatcher(step_fn, spd=spd)
+    drv_state, drv_losses, seen = state, [], []
+    for drv_state, losses, stepped, gs2 in d2.drive(
+            state, jax.random.PRNGKey(5), make_take(all_batches), total):
+        drv_losses.extend(np.asarray(losses).tolist())
+        seen.append((stepped, gs2))
+
+    assert seen == [(3, 3), (1, 4), (3, 7)]
+    np.testing.assert_array_equal(ref_losses, drv_losses)
+    assert int(drv_state["step"]) == total
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ref_state["params"], drv_state["params"])
+
+
 def test_step_fn_eviction_releases_wrappers():
     """Dropping a step function must free its fused/jit wrappers too.
 

@@ -102,6 +102,70 @@ def test_materialized_lora_matches_dynamic(pipe):
     assert (merged_img == dynamic_img).mean() > 0.99
 
 
+def test_scale_sweep_retains_one_merged_tree(pipe):
+    """Hot-swap/scale-sweep loops must not accumulate superseded merged
+    trees: each merged SD1.5 UNet is ~1.7 GB bf16 on device, so routing
+    the pipe-installed trees through the adapter LRU (capacity 8) would
+    OOM a 16 GB v5e.  Installed trees get a single slot per model;
+    explicit adapter trees keep the LRU (bounded)."""
+    from diffusion_finetuning_tpu import lora as L
+    from diffusion_finetuning_tpu.pipelines import pipeline as P
+
+    targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+    rng = np.random.default_rng(3)
+    flat = []
+    for t in targets:
+        flat.append(rng.standard_normal((t.out_features, 1)).astype(np.float32) * 0.2)
+        flat.append(rng.standard_normal((1, t.in_features)).astype(np.float32) * 0.2)
+    pipe.unet_lora = L.monkeypatch_lora(flat, targets, r=1)
+    try:
+        assert pipe.materialize_lora
+        for i in range(P.MERGED_LORA_CACHE_SIZE + 3):
+            P.tune_lora_scale_pipe(pipe, 0.1 * i, which="unet")
+            pipe._generation_params()  # triggers the merge
+            assert len(pipe._merged_current) == 1  # only the current unet
+            assert len(pipe._merged_cache) == 0    # LRU is adapter-only
+        # explicit adapter trees land in the LRU and stay bounded
+        for i in range(P.MERGED_LORA_CACHE_SIZE + 3):
+            adapter = L.tune_lora_scale(pipe.unet_lora, 0.01 * i)
+            pipe.adapter_generation_params(unet_lora=adapter)
+            assert len(pipe._merged_cache) <= P.MERGED_LORA_CACHE_SIZE
+        assert len(pipe._merged_current) == 1
+    finally:
+        pipe.unet_lora = None
+        pipe.invalidate_merged_cache()
+
+
+def test_stale_adapter_table_rejects_new_ti_token():
+    """A TI token registered AFTER an adapter's text tree was built must
+    raise, not silently clamp the embedding gather inside the jit: the
+    tokenizer vocabulary is shared across tenants, embedding rows are not
+    (scripts/serve.py POST /adapters on a live server)."""
+    from diffusion_finetuning_tpu.pipelines.pipeline import (
+        apply_learned_embed_in_clip)
+    from tests.test_cli_tools import _tiny_pipe
+
+    pipe = _tiny_pipe()
+    # the tiny fixture's table has slack rows (cfg vocab 1000 > tokenizer
+    # 521); production tables are sized exactly to the vocab — mirror that
+    emb = pipe.text_params["token_embedding"]["embedding"]
+    pipe.text_params = {
+        **pipe.text_params,
+        "token_embedding": {"embedding": emb[: len(pipe.tokenizer)]},
+    }
+    stale = pipe.adapter_generation_params()  # table snapshot, pre-token
+    emb_dim = pipe.text_params["token_embedding"]["embedding"].shape[1]
+    new_params, tok = apply_learned_embed_in_clip(
+        {"<r4tok>": np.ones((emb_dim,), np.float32) * 0.01},
+        pipe.text_params, pipe.tokenizer)
+    pipe.text_params = new_params
+    kw = dict(num_inference_steps=2, height=16, width=16, seed=0,
+              output_type="np")
+    pipe(f"a photo of {tok}", **kw)  # fresh table: fine
+    with pytest.raises(ValueError, match="embedding table"):
+        pipe(f"a photo of {tok}", adapter_params=stale, **kw)
+
+
 def test_materialize_lora_tree_matches_weight_apply_lora(pipe):
     """Device-side merge == reference-semantics host merge (lora.py:410-424)."""
     import jax.numpy as jnp
@@ -201,8 +265,7 @@ def test_sharded_generation_matches_single_device(pipe):
         patched = pipe(prompts, num_inference_steps=2, height=16, width=16,
                        seed=0, output_type="np")
         assert np.abs(patched - sharded).max() > 0
-        merged = pipe._merged_cache[
-            ("unet", id(pipe.unet_params), id(pipe.unet_lora))][2]
+        merged = pipe._merged_current["unet"][2]
         leaf = jax.tree_util.tree_leaves(merged)[0]
         assert len(leaf.sharding.device_set) == 4  # replicated on the mesh
         pipe.unet_lora = None

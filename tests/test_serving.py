@@ -299,10 +299,18 @@ def test_multi_tenant_adapters_hammer(tmp_path):
             img = np.asarray(fut.result(timeout=300)).astype(np.float32) / 255.0
             ref = golden[key]
             # goldens are float [0,1]; server returns PIL uint8 — compare
-            # at uint8 resolution
+            # at uint8 resolution.  Tolerance 1 level: goldens run batch-1
+            # while the server coalesces into batch-2/4 executables, and a
+            # float sitting on a quantization boundary can flip one level
+            # between the two programs (observed ~1/10 runs).  A WRONG
+            # adapter differs grossly (asserted below), so 1 level keeps
+            # full routing-detection power.
             ref8 = (ref * 255).round()
             img8 = (img * 255).round()
-            assert np.array_equal(img8, ref8), f"adapter mismatch for {key}"
+            assert np.abs(img8 - ref8).max() <= 1, f"adapter mismatch for {key}"
+            others = [np.abs(img8 - (golden[(n, key[1])] * 255).round()).max()
+                      for n in names if n != key[0]]
+            assert min(others) > 1, f"adapters indistinguishable at {key}"
     finally:
         stop.set()
         t.join(timeout=10)

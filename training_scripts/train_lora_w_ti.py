@@ -385,21 +385,10 @@ def main(args, dataset_cls=None):
                 break
         return group
 
-    group = take_group(global_step)
-    prepared = dispatcher.prepare(group)
-    while global_step < args.max_train_steps and group:
-        rng, key = jax.random.split(rng)
-        state, losses = dispatcher.run(state, group, key, prepared=prepared)
-        stepped = len(group)
-        global_step += stepped
+    for state, losses, stepped, global_step in dispatcher.drive(
+            state, rng, take_group, args.max_train_steps,
+            start_step=global_step):
         epoch = stream_epoch[0]
-        # stage group i+1's host->device transfer BEFORE the blocking
-        # logging/saves below, so it hides under group i's device time
-        if global_step < args.max_train_steps:
-            group = take_group(global_step)
-            prepared = dispatcher.prepare(group)
-        else:
-            group = []
         for _ in range(stepped):
             timer.tick()
         if global_step % 50 < stepped or global_step >= args.max_train_steps:
