@@ -62,9 +62,10 @@ class GenerationServer:
         self.pipe = pipe
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        # jit compiles per batch size: round batches UP to this ladder so the
-        # warm set stays small (requests are padded by repetition); the
-        # ladder always contains max_batch so rounding never under-shoots
+        # jit compiles per batch size, so dispatched batches are restricted
+        # to this ladder: partial batches split DOWN it (zero padding when 1
+        # is a ladder step) and only pad up by repetition when smaller than
+        # the smallest step; the ladder always contains max_batch
         self.allowed_batches = sorted(set(allowed_batches or [1, 2, 4])
                                       | {max_batch})
         # multi-chip pipelines (pipe.shard_over(mesh)) only accept batches
@@ -76,7 +77,10 @@ class GenerationServer:
                 {-(-b // n) * n for b in self.allowed_batches})
             self.max_batch = self.allowed_batches[-1]
         self._q: "queue.Queue[_Request]" = queue.Queue()
-        self._carry: Optional[_Request] = None  # head of the next shape class
+        # requests the worker already dequeued but did not dispatch: the
+        # head of the next shape class, and/or the remainder of a partial
+        # batch split down the ladder (see _loop)
+        self._carry: List[_Request] = []
         # multi-tenant LoRA serving: named adapter tree sets, routed per
         # request (reference workflow: patch_pipe swapping LoRAs on one pipe,
         # lora.py:672-732 — here per-request instead of process-global)
@@ -148,8 +152,8 @@ class GenerationServer:
         self._drain_and_fail()
 
     def _drain_and_fail(self):
-        pending = [self._carry] if self._carry else []
-        self._carry = None
+        pending = list(self._carry)
+        self._carry.clear()
         while True:
             try:
                 pending.append(self._q.get_nowait())
@@ -160,8 +164,8 @@ class GenerationServer:
 
     # -- worker --------------------------------------------------------------
     def _collect(self, block: bool = True) -> List[_Request]:
-        if self._carry is not None:
-            first, self._carry = self._carry, None
+        if self._carry:
+            first = self._carry.pop(0)
         elif block:
             try:
                 first = self._q.get(timeout=0.1)
@@ -176,10 +180,17 @@ class GenerationServer:
             except queue.Empty:
                 return []
         batch = [first]
-        if block and self._q.qsize() < self.max_batch - 1:
+        if (block and
+                len(self._carry) + self._q.qsize() < self.max_batch - 1):
             # coalescing window — skipped when a full batch is already queued
             self._stop.wait(self.max_wait_s)
         while len(batch) < self.max_batch:
+            if self._carry:
+                # carried requests are FIFO-older than anything queued
+                if self._carry[0].batch_key() == first.batch_key():
+                    batch.append(self._carry.pop(0))
+                    continue
+                break  # head of the next shape class stays carried
             try:
                 nxt = self._q.get_nowait()
             except queue.Empty:
@@ -189,7 +200,7 @@ class GenerationServer:
             else:
                 # head of the NEXT batch (not requeued: a steady stream of
                 # the current shape class must not starve it)
-                self._carry = nxt
+                self._carry.append(nxt)
                 break
         return batch
 
@@ -226,6 +237,22 @@ class GenerationServer:
                 if batch:
                     r0 = batch[0]
                     n = len(batch)
+                    # split partial batches down the ladder instead of
+                    # padding up: a padded slot costs a full image of device
+                    # time (~0.8 s at 512²) while an extra pipelined dispatch
+                    # costs ~25 ms, so (4+1) beats pad-to-8 for 5 requests at
+                    # every measured batch size (ladder table, PARITY.md).
+                    # Padding remains only when n is below the smallest
+                    # ladder step (e.g. a mesh-rounded ladder).
+                    down = max(
+                        (b for b in self.allowed_batches if b <= n),
+                        default=None)
+                    if down is not None and down < n:
+                        # remainder goes to the FRONT of the carry so it
+                        # keeps FIFO priority over a parked next-shape head
+                        self._carry[:0] = batch[down:]
+                        batch = batch[:down]
+                        n = down
                     nb = self._rounded(n)
                     prompts = ([r.prompt for r in batch]
                                + [r0.prompt] * (nb - n))

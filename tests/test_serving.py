@@ -39,6 +39,33 @@ def test_server_single_and_concurrent(pipe):
         pipe.__class__.__call__ = orig
 
 
+def test_partial_batch_splits_down_ladder_not_padded(pipe):
+    """3 coalesced requests on a [1,2,4] ladder must dispatch as 2+1, never
+    as a padded batch of 4: a padded slot costs a full image of device time,
+    an extra pipelined dispatch ~25 ms (serving ladder table, PARITY.md)."""
+    calls = []
+    orig = pipe.__class__.__call__
+
+    def spy(self, prompt, **kw):
+        calls.append(len(prompt) if isinstance(prompt, list) else 1)
+        return orig(self, prompt, **kw)
+
+    pipe.__class__.__call__ = spy
+    try:
+        server = GenerationServer(pipe, max_batch=4, max_wait_ms=500)
+        kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+        futs = [server.submit(p, seed=i, **kw)
+                for i, p in enumerate("abc")]
+        imgs = [f.result(timeout=300) for f in futs]
+        assert all(im.size == (16, 16) for im in imgs)
+        # the 500 ms coalescing window collects all 3 into one partial
+        # batch, which must split into a 2-dispatch and a 1-dispatch
+        assert calls == [2, 1], calls
+        server.close()
+    finally:
+        pipe.__class__.__call__ = orig
+
+
 def test_server_propagates_errors(pipe):
     server = GenerationServer(pipe, max_batch=2, max_wait_ms=10)
     fut = server.submit("a", height=7, width=7, steps=1)  # invalid size
