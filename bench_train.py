@@ -23,6 +23,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_REFERENCE_STEPS_PER_SEC = 2.5  # typical reference DreamBooth-LoRA rate
 STEPS_PER_DISPATCH = int(__import__("os").environ.get("DFT_BENCH_SPD", "10"))
+# Per-step train batch size (the reference recipe default is
+# train_batch_size=4, /root/reference/training_scripts/train_lora_dreambooth.py:246-248;
+# the headline metric stays batch 1 = the run_lorpt.sh recipe).  At B>1 the
+# metric name gains a _batchB suffix and the JSON adds images_per_sec.
+TRAIN_BATCH = int(__import__("os").environ.get("DFT_BENCH_TRAIN_BATCH", "1"))
 # A/B knob: 1 = feed cached latent moments instead of pixels (the trainers'
 # --cache_latents path; valid for deterministic pixel pipelines).  Default
 # 0 keeps the headline metric = the reference's encode-every-step workload.
@@ -89,9 +94,9 @@ def main():
     k = STEPS_PER_DISPATCH
     jitted = jit_train_step(multi_step(step_fn, k), donate=DONATE)
     batch = {
-        "pixel_values": np.zeros((1, 512, 512, 3),
+        "pixel_values": np.zeros((TRAIN_BATCH, 512, 512, 3),
                                  np.uint8 if PIX_U8 else np.float32),
-        "input_ids": np.zeros((1, 77), np.int32),
+        "input_ids": np.zeros((TRAIN_BATCH, 77), np.int32),
     }
     if CACHE_LATENTS:
         from diffusion_finetuning_tpu.training.latent_cache import (
@@ -127,12 +132,16 @@ def main():
         jax.block_until_ready(m["loss"])
     sps = n_dispatch * k / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    out = {
         "metric": "dreambooth_rank4_512_train_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
         "vs_baseline": round(sps / (3 * A100_REFERENCE_STEPS_PER_SEC), 3),
-    }))
+    }
+    if TRAIN_BATCH != 1:
+        out["metric"] += f"_batch{TRAIN_BATCH}"
+        out["images_per_sec"] = round(sps * TRAIN_BATCH, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

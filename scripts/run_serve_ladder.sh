@@ -1,17 +1,22 @@
 #!/bin/bash
-# Round-4 TPU job chain: warm bench.py (driver-critical executable), then
-# sweep the serving batch ladder.  One TPU job at a time (they serialize on
-# the single chip anyway).  Results appended as JSON lines to .perf/ladder.log.
-set -u
+# Serving batch-ladder sweep: warm bench.py (driver-critical executable),
+# then sweep bench_serve over batch sizes.  One TPU job at a time (they
+# serialize on the single chip anyway).  Results are APPENDED as JSON lines
+# to .perf/ladder.log; each command's exit status is recorded in the log.
+set -u -o pipefail
+cd "$(dirname "$0")/.."
 mkdir -p .perf
 LOG=.perf/ladder.log
-: > "$LOG"
 
-echo "=== bench.py (txt2img, warms batch-1 pipeline) $(date -u +%T)" | tee -a "$LOG"
-timeout 3000 python bench.py 2>>.perf/ladder.err | tee -a "$LOG"
+run() {
+  echo "=== $* $(date -u +%T)" | tee -a "$LOG"
+  "$@" 2>>.perf/ladder.err | tee -a "$LOG"
+  echo "rc=$?" | tee -a "$LOG"
+}
 
-for B in 4 8 2; do
-  echo "=== bench_serve batch=$B $(date -u +%T)" | tee -a "$LOG"
-  DFT_BENCH_BATCH=$B timeout 3000 python bench_serve.py 2>>.perf/ladder.err | tee -a "$LOG"
+run timeout 3000 python bench.py
+for B in 1 2 4 8; do
+  DFT_BENCH_BATCH=$B run timeout 3000 python bench_serve.py
 done
+DFT_BENCH_MIXED=1 run timeout 3600 python bench_serve.py
 echo "=== done $(date -u +%T)" | tee -a "$LOG"
