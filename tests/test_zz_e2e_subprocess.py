@@ -41,6 +41,10 @@ class _TimedOut:
 
 def _run_child(fnames, timeout):
     env = dict(os.environ, DFT_E2E_CHILD="1")
+    # when this relay runs inside a suite-shard child, the grandchild must
+    # not inherit the shard's crash journal (its entries would pollute the
+    # shard's resume/deselect bookkeeping)
+    env.pop("DFT_SUITE_JOURNAL", None)
     try:
         return subprocess.run(
             [sys.executable, "-u", "-m", "pytest", "-q"]
