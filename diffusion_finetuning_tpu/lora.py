@@ -62,6 +62,7 @@ __all__ = [
     "TEXT_ENCODER_DEFAULT_TARGET_REPLACE",
     "DEFAULT_TARGET_REPLACE",
     "LoraTarget",
+    "lora_targets_from_module",
     "inject_trainable_lora",
     "extract_lora_ups_down",
     "save_lora_weight",
@@ -132,6 +133,81 @@ def filter_targets(
     canonical order (the reference enumeration order, verified against
     example_loras/lora_disney.safetensors)."""
     return [t for t in targets if t.ancestor in set(target_replace_module)]
+
+
+def lora_targets_from_module(
+    module,
+    rng: jax.Array,
+    *init_args,
+    target_replace_module: Set[str] = DEFAULT_TARGET_REPLACE,
+    include_conv: bool = False,
+    **init_kwargs,
+) -> List[LoraTarget]:
+    """Derive a :class:`LoraTarget` list from an ARBITRARY Flax module by
+    ancestor class-name matching — the reference's ``_find_modules``
+    addressing scheme (lora.py:61-134) for models this framework does not
+    ship.
+
+    The built-in models expose hand-ordered target lists
+    (``unet_lora_targets`` / ``text_encoder_lora_targets``, fingerprint-
+    verified against the golden safetensors); a user bringing their own
+    Flax model calls this instead: every ``nn.Dense`` (and, with
+    ``include_conv``, ``nn.Conv``) that is a descendant of a module whose
+    *class name* is in ``target_replace_module`` becomes a target, in
+    ancestor-major depth-first pre-order — the same enumeration
+    ``_find_modules_v2`` produces from ``named_modules()`` (reference
+    lora.py:78-114).  A layer under two matched ancestors is yielded once,
+    for the first ancestor that reaches it (the reference's
+    skip-already-injected behavior, lora.py:98-104).
+
+    ``rng`` / ``*init_args`` / ``**init_kwargs`` are whatever
+    ``module.init`` takes — submodule structure and kernel shapes are
+    discovered by shape-level tracing only (``nn.Module.module_paths`` +
+    ``jax.eval_shape``); no parameters are materialized.
+
+    The returned targets drive the whole target-based API surface:
+    ``inject_trainable_lora`` (build/seed trainable trees),
+    ``weight_apply_lora`` / ``materialize_lora_tree`` (permanent merge into
+    the user's param tree), ``save_*``/``monkeypatch_*``/``tune_lora_scale``.
+    Runtime-dynamic LoRA (unmerged ``W·x + scale·up(down(x))`` during
+    apply) additionally needs the model to use LoRA-aware layers
+    (:class:`models.layers.LoRADense`); plain ``nn.Dense`` models use the
+    merge path.
+    """
+    import flax.linen as nn
+
+    paths = module.module_paths(rng, *init_args, **init_kwargs)
+    shapes = jax.eval_shape(
+        lambda k: module.init(k, *init_args, **init_kwargs), rng
+    )["params"]
+    replace = set(target_replace_module)
+    targets: List[LoraTarget] = []
+    seen: Set[str] = set()
+    for apath, amod in paths.items():
+        aname = type(amod).__name__
+        if aname not in replace:
+            continue
+        prefix = apath + "/" if apath else ""
+        for p, m in paths.items():
+            # descendants of the ancestor, plus the ancestor itself (torch
+            # named_modules() yields the module under "" first)
+            if p in seen or not (p == apath or p.startswith(prefix)):
+                continue
+            is_dense = isinstance(m, nn.Dense)
+            is_conv = include_conv and isinstance(m, nn.Conv)
+            if not (is_dense or is_conv):
+                continue
+            seen.add(p)
+            key: Path = tuple(p.split("/"))
+            kernel = tree_get(shapes, key + ("kernel",))
+            if is_dense:
+                targets.append(
+                    LoraTarget(key, kernel.shape[0], kernel.shape[1], aname))
+            else:
+                kh, kw, cin, cout = kernel.shape
+                targets.append(
+                    LoraTarget(key, cin, cout, aname, kernel_size=(kh, kw)))
+    return targets
 
 
 # --------------------------------------------------------------------------
