@@ -55,9 +55,18 @@ class _Request:
 
 
 class GenerationServer:
-    """Queue + worker thread micro-batching txt2img over one pipeline."""
+    """Queue + worker thread micro-batching txt2img over one pipeline.
 
-    def __init__(self, pipe, max_batch: int = 4, max_wait_ms: float = 20.0,
+    Defaults come from the measured v5e batch ladder (BENCH_SERVE_r05.json,
+    ladder table in PARITY.md): batch-8 is the throughput winner (1.24
+    img/s vs 1.204 at batch-4 at 512^2/50 steps), and with partial batches
+    splitting DOWN the ladder a larger ``max_batch`` never pads — under
+    light load requests dispatch at whatever size is queued.  The latency
+    cost only appears in full 8-request bursts, where requests 5-8 ride the
+    same ~6.5 s dispatch instead of a second batch-4 wave; latency-critical
+    deployments can pin ``max_batch=4`` (or ``allowed_batches=[1]``)."""
+
+    def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 20.0,
                  allowed_batches: Optional[List[int]] = None):
         self.pipe = pipe
         self.max_batch = max_batch
@@ -66,8 +75,10 @@ class GenerationServer:
         # to this ladder: partial batches split DOWN it (zero padding when 1
         # is a ladder step) and only pad up by repetition when smaller than
         # the smallest step; the ladder always contains max_batch
-        self.allowed_batches = sorted(set(allowed_batches or [1, 2, 4])
-                                      | {max_batch})
+        if allowed_batches is None:
+            # default power-of-two ladder, capped at max_batch
+            allowed_batches = [b for b in (1, 2, 4, 8) if b <= max_batch]
+        self.allowed_batches = sorted(set(allowed_batches) | {max_batch})
         # multi-chip pipelines (pipe.shard_over(mesh)) only accept batches
         # that are multiples of the data axis: round the ladder up to them
         mesh = getattr(pipe, "mesh", None)

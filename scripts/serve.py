@@ -15,7 +15,7 @@ across every local chip (params replicated, batch over the mesh's data
 axis) and the batch ladder rounds to mesh multiples.
 
 Usage: python scripts/serve.py MODEL_DIR [--lora path.safetensors]
-       [--adapter name=path.safetensors ...] [--port 8000] [--max_batch 4]
+       [--adapter name=path.safetensors ...] [--port 8000] [--max_batch 8]
        [--data_parallel]
 """
 
@@ -35,7 +35,7 @@ from diffusion_finetuning_tpu.utils.cli import Fire
 
 
 def serve(model_dir: str, lora: str = None, port: int = 8000,
-          max_batch: int = 4, host: str = "127.0.0.1",
+          max_batch: int = 8, host: str = "127.0.0.1",
           data_parallel: bool = False, tensor_parallel: int = 1,
           adapter: list = ()):
     pipe = StableDiffusionPipeline.from_pretrained(model_dir, dtype=jnp.bfloat16)

@@ -352,6 +352,58 @@ def test_multi_tenant_adapters_hammer(tmp_path):
             server2.close()
 
 
+def test_adapter_eviction_under_pressure(monkeypatch):
+    """More registered adapters than the merged-LoRA LRU holds: requests
+    keep routing to the RIGHT adapter while the cache stays bounded —
+    evicted adapters silently re-merge on their next request (the HBM
+    ceiling is the cap × ~1.7 GB per merged SD1.5 UNet; the cap itself is
+    pinned on the real chip by scripts/probe_adapter_capacity.py)."""
+    import jax
+
+    from diffusion_finetuning_tpu import lora as L
+    from diffusion_finetuning_tpu.pipelines import pipeline as P
+    from tests.test_cli_tools import _tiny_pipe
+
+    monkeypatch.setattr(P, "MERGED_LORA_CACHE_SIZE", 2)
+    pipe = _tiny_pipe()
+    unet_targets = pipe.lora_targets("unet", L.DEFAULT_TARGET_REPLACE)
+
+    names = [f"tenant{s}" for s in range(5)]  # 5 adapters, capacity 2
+    trees = {n: {"unet_lora": _random_lora(unet_targets, 10 + i)}
+             for i, n in enumerate(names)}
+
+    pipe_kw = dict(height=16, width=16, num_inference_steps=2,
+                   scheduler="ddim", output_type="np")
+    golden = {}
+    for n in names:
+        ap = pipe.adapter_generation_params(unet_lora=trees[n]["unet_lora"])
+        golden[n] = (np.asarray(
+            pipe("a photo", seed=0, adapter_params=ap, **pipe_kw))[0]
+            * 255).round()
+        assert len(pipe._merged_cache) <= 2
+    # adapters must actually differ for routing checks to mean anything
+    assert np.abs(golden[names[0]] - golden[names[1]]).max() > 1
+
+    server = GenerationServer(pipe, max_batch=2, max_wait_ms=10)
+    for n in names:
+        server.register_adapter(n, trees[n])
+    kw = dict(height=16, width=16, steps=2, scheduler="ddim")
+    try:
+        # hammer: 3 passes over all adapters (every pass after the first
+        # re-requests evicted ones), interleaved submission order
+        futs = [(n, server.submit("a photo", seed=0, adapter=n, **kw))
+                for _ in range(3) for n in names]
+        for n, f in futs:
+            img8 = (np.asarray(f.result(timeout=300), dtype=np.float32))
+            assert np.abs(img8 - golden[n]).max() <= 1, f"wrong tree for {n}"
+            others = [np.abs(img8 - golden[m]).max()
+                      for m in names if m != n]
+            assert min(others) > 1, f"adapters indistinguishable at {n}"
+    finally:
+        server.close()
+    assert len(pipe._merged_cache) <= 2  # bounded through all re-merges
+
+
 def test_server_over_tensor_parallel_mesh(pipe):
     """Serving on a (data, tp) mesh: the ladder rounds to the data axis only
     and generation matches the single-device images (tp splits the UNet
