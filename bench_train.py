@@ -35,6 +35,10 @@ CACHE_LATENTS = __import__("os").environ.get("DFT_BENCH_CACHE_LATENTS") == "1"
 # A/B knob: 1 = donate the state buffers to the dispatch (XLA aliases the
 # pass-through frozen params instead of copying them at dispatch entry/exit)
 DONATE = __import__("os").environ.get("DFT_BENCH_DONATE") == "1"
+# A/B knob: 1 = bf16 scan carry for master LoRA params + optimizer moments
+# (fp32 inside each update; see multi_step carry_dtype — measurement only,
+# changes master-state precision between steps)
+CARRY_BF16 = __import__("os").environ.get("DFT_BENCH_CARRY_BF16") == "1"
 # A/B knob: f32 restores the old fp32 pixel wire format (the DataLoader
 # default is uint8 + on-device normalize — 4x less tunnel traffic, a
 # rounding-level-equivalent trajectory; see data.dataset.requantize_uint8)
@@ -92,7 +96,9 @@ def main():
         "step": jnp.zeros((), jnp.int32),
     }
     k = STEPS_PER_DISPATCH
-    jitted = jit_train_step(multi_step(step_fn, k), donate=DONATE)
+    fused = multi_step(step_fn, k,
+                       carry_dtype=jnp.bfloat16 if CARRY_BF16 else None)
+    jitted = jit_train_step(fused, donate=DONATE)
     batch = {
         "pixel_values": np.zeros((TRAIN_BATCH, 512, 512, 3),
                                  np.uint8 if PIX_U8 else np.float32),

@@ -271,7 +271,7 @@ def _check_static_untouched(new_static, static):
         )
 
 
-def multi_step(step_fn: Callable, k: int) -> Callable:
+def multi_step(step_fn: Callable, k: int, carry_dtype=None) -> Callable:
     """Fuse ``k`` train steps into ONE dispatch via ``lax.scan``.
 
     Per-step Python dispatch costs real wall time on remote/tunneled TPU
@@ -290,12 +290,35 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
     8% of the device step).  The step function must not modify it
     (trace-time checked).
 
-    Memoized on ``(step_fn, k)``: repeat wrapping of the same step function
-    returns the same closure, so downstream jit caches can hit.
+    Memoized on ``(step_fn, k, carry_dtype)``: repeat wrapping of the same
+    step function returns the same closure, so downstream jit caches can hit.
+
+    ``carry_dtype`` is a MEASUREMENT knob (bench_train DFT_BENCH_CARRY_BF16):
+    float32 leaves of the scan carry (master LoRA params + optimizer
+    moments) are stored between steps at this dtype and upcast to fp32 for
+    each update — halving the carry's HBM write/read traffic at the cost of
+    rounding master state to bf16 every step.  NOT a production default:
+    the trajectory is no longer fp32-master training.  None = exact.
     """
     per_fn = _per_fn_cache(step_fn, "_dft_multi_step_cache")
-    if k in per_fn:
-        return per_fn[k]
+    memo_key = (k, None if carry_dtype is None else jnp.dtype(carry_dtype).name)
+    if memo_key in per_fn:
+        return per_fn[memo_key]
+
+    def down(tree):
+        if carry_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(carry_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    def up(tree, like):
+        if carry_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x, ref: x.astype(jnp.float32)
+            if hasattr(ref, "dtype") and ref.dtype == jnp.float32 else x,
+            tree, like)
 
     def fused(state, batches, rng):
         keys = jax.random.split(rng, k)
@@ -307,18 +330,21 @@ def multi_step(step_fn: Callable, k: int) -> Callable:
 
             return jax.lax.scan(body, state, (batches, keys))
 
-        carry0 = {kk: v for kk, v in state.items() if kk != "static"}
+        full0 = {kk: v for kk, v in state.items() if kk != "static"}
+        carry0 = down(full0)
 
         def body(st, xs):
             b, key = xs
-            new, metrics = step_fn(dict(st, static=static), b, key)
+            new, metrics = step_fn(
+                dict(up(st, full0), static=static), b, key)
             _check_static_untouched(new.get("static"), static)
-            return {kk: v for kk, v in new.items() if kk != "static"}, metrics
+            return down(
+                {kk: v for kk, v in new.items() if kk != "static"}), metrics
 
         carry, ms = jax.lax.scan(body, carry0, (batches, keys))
-        return dict(carry, static=static), ms
+        return dict(up(carry, full0), static=static), ms
 
-    per_fn[k] = fused
+    per_fn[memo_key] = fused
     return fused
 
 

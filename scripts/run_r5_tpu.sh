@@ -25,6 +25,7 @@ DFT_BENCH_MIXED=1 run timeout 3600 python bench_serve.py
 # --- train: warm baseline, then cold A/Bs --------------------------------
 run timeout 3000 python bench_train.py
 DFT_BENCH_DONATE=1 run timeout 3600 python bench_train.py
+DFT_BENCH_CARRY_BF16=1 run timeout 3600 python bench_train.py
 for B in 2 4 8; do
   DFT_BENCH_TRAIN_BATCH=$B run timeout 3600 python bench_train.py
 done

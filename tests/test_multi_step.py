@@ -97,6 +97,37 @@ def test_multi_step_matches_sequential(setup):
     )
 
 
+def test_multi_step_bf16_carry_close_to_exact(setup):
+    """carry_dtype=bf16 (the DFT_BENCH_CARRY_BF16 measurement knob) rounds
+    master params/moments between steps: the trajectory must stay close to
+    the fp32-carry one over a few steps, state dtypes must be unchanged at
+    the boundary, and the memo must key the two variants separately."""
+    step_fn, state = setup
+    k = 3
+    batches, rng = _batches(k), jax.random.PRNGKey(7)
+
+    exact = multi_step(step_fn, k)
+    bf16 = multi_step(step_fn, k, carry_dtype=jnp.bfloat16)
+    assert exact is multi_step(step_fn, k)            # memo intact
+    assert bf16 is multi_step(step_fn, k, carry_dtype=jnp.bfloat16)
+    assert exact is not bf16
+
+    st_exact, ms_exact = jit_train_step(exact)(state, stack_batches(batches), rng)
+    st_bf16, ms_bf16 = jit_train_step(bf16)(state, stack_batches(batches), rng)
+
+    # caller-visible state keeps fp32 leaves (upcast at the boundary)
+    jax.tree_util.tree_map(
+        lambda a, b: (a.dtype == b.dtype or
+                      (_ for _ in ()).throw(AssertionError((a.dtype, b.dtype)))),
+        st_exact["params"], st_bf16["params"])
+    np.testing.assert_allclose(np.asarray(ms_bf16["loss"]),
+                               np.asarray(ms_exact["loss"]), rtol=1e-2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-2),
+        st_exact["params"], st_bf16["params"])
+
+
 def test_multi_step_on_mesh(setup):
     """Fused dispatch composes with DP sharding (batch axis = dim 1)."""
     from diffusion_finetuning_tpu.parallel import mesh as mesh_lib
